@@ -1,0 +1,379 @@
+"""Primitive NN layers (reference: cinema/conv.py), TPU-native.
+
+Design differences from the reference:
+
+- channels-LAST tensors ``(batch, *spatial, chans)`` everywhere — XLA's
+  preferred TPU conv layout; 'layer' norm becomes a plain last-axis
+  LayerNorm with no permutes (the reference permutes NCHW<->NHWC per call,
+  conv.py:169-187);
+- no per-layer ``set_grad_ckpt`` plumbing: rematerialisation is applied
+  functionally with ``nn.remat`` / ``jax.checkpoint`` at the block level by
+  the owning model (see vit.py / mae.py);
+- norm statistics are computed in float32 regardless of the compute dtype
+  (bf16-safe), then cast back.
+
+Initialisation parity: Linear layers use xavier-uniform + zero bias
+(reference vit.py:32-48); conv layers keep the torch default
+kaiming-uniform(a=sqrt(5)) == variance_scaling(1/3, fan_in, uniform) with
+matching uniform bias so training-from-scratch statistics line up.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Callable, Optional, Sequence, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+Dtype = Any
+KernelSize = Union[int, Sequence[int]]
+
+# torch nn.Linear/Conv default weight init: kaiming_uniform(a=sqrt(5))
+# == U(-1/sqrt(fan_in), 1/sqrt(fan_in)) == variance_scaling(1/3, fan_in, uniform)
+torch_default_kernel_init = nn.initializers.variance_scaling(1.0 / 3.0, "fan_in", "uniform")
+xavier_uniform = nn.initializers.xavier_uniform()
+token_init = nn.initializers.normal(stddev=0.02)
+
+
+def torch_default_bias_init(fan_in: int) -> Callable[..., jnp.ndarray]:
+    """torch default bias init: U(-1/sqrt(fan_in), 1/sqrt(fan_in))."""
+    bound = 1.0 / math.sqrt(fan_in) if fan_in > 0 else 0.0
+
+    def init(key: jax.Array, shape: Sequence[int], dtype: Dtype = jnp.float32) -> jnp.ndarray:
+        return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+    return init
+
+
+def gelu(x: jnp.ndarray) -> jnp.ndarray:
+    """Exact (erf) GELU — torch nn.GELU default. jax.nn.gelu defaults to tanh."""
+    return jax.nn.gelu(x, approximate=False)
+
+
+def _as_tuple(v: KernelSize, n: int) -> Tuple[int, ...]:
+    return (v,) * n if isinstance(v, int) else tuple(v)
+
+
+class LayerNorm(nn.Module):
+    """LayerNorm over the channel (last) axis, float32 statistics.
+
+    Equivalent to torch nn.LayerNorm / the reference's ConvLayerNorm
+    (conv.py:169-187) since tensors here are channels-last.
+    """
+
+    epsilon: float = 1e-5
+    use_scale: bool = True
+    use_bias: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        orig_dtype = x.dtype
+        x = x.astype(jnp.float32)
+        mean = jnp.mean(x, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(x - mean), axis=-1, keepdims=True)
+        y = (x - mean) * jax.lax.rsqrt(var + self.epsilon)
+        features = x.shape[-1]
+        if self.use_scale:
+            y = y * self.param("scale", nn.initializers.ones, (features,), jnp.float32)
+        if self.use_bias:
+            y = y + self.param("bias", nn.initializers.zeros, (features,), jnp.float32)
+        return y.astype(self.dtype if self.dtype is not None else orig_dtype)
+
+
+class InstanceNorm(nn.Module):
+    """InstanceNorm over spatial axes, no affine (torch default affine=False)."""
+
+    epsilon: float = 1e-6
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        orig_dtype = x.dtype
+        x = x.astype(jnp.float32)
+        axes = tuple(range(1, x.ndim - 1))
+        mean = jnp.mean(x, axis=axes, keepdims=True)
+        var = jnp.mean(jnp.square(x - mean), axis=axes, keepdims=True)
+        return ((x - mean) * jax.lax.rsqrt(var + self.epsilon)).astype(orig_dtype)
+
+
+class GroupNorm(nn.Module):
+    """GroupNorm with affine params, float32 statistics (torch semantics)."""
+
+    num_groups: int
+    epsilon: float = 1e-6
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        orig_dtype = x.dtype
+        c = x.shape[-1]
+        g = self.num_groups
+        if c % g != 0:
+            raise ValueError(f"Channels {c} not divisible by groups {g}.")
+        x32 = x.astype(jnp.float32)
+        shape = x.shape[:-1] + (g, c // g)
+        xg = x32.reshape(shape)
+        axes = tuple(range(1, x.ndim - 1)) + (x.ndim,)
+        mean = jnp.mean(xg, axis=axes, keepdims=True)
+        var = jnp.mean(jnp.square(xg - mean), axis=axes, keepdims=True)
+        y = ((xg - mean) * jax.lax.rsqrt(var + self.epsilon)).reshape(x.shape)
+        y = y * self.param("scale", nn.initializers.ones, (c,), jnp.float32)
+        y = y + self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+        return y.astype(orig_dtype)
+
+
+def get_conv_norm(
+    norm: str,
+    eps: float = 1e-6,
+    n_groups: int = 32,
+    n_chans: int = 0,
+    name: Optional[str] = None,
+) -> nn.Module:
+    """Normalisation factory for conv blocks (reference conv.py:190-209).
+
+    Args:
+        norm: 'instance' | 'layer' | 'group'.
+        eps: epsilon.
+        n_groups: groups for group norm (clamped to channel count).
+        n_chans: channel count, needed for group norm clamping.
+        name: module name (stable naming for checkpoint mapping).
+    """
+    if norm == "instance":
+        return InstanceNorm(epsilon=eps, name=name)
+    if norm == "layer":
+        return LayerNorm(epsilon=eps, dtype=None, name=name)
+    if norm == "group":
+        return GroupNorm(num_groups=min(n_groups, n_chans) if n_chans else n_groups, epsilon=eps, name=name)
+    raise ValueError(f"Invalid norm type, got {norm}, must be 'instance' or 'layer' or 'group'.")
+
+
+class Conv(nn.Module):
+    """N-d convolution, channels-last, torch-default init.
+
+    kernel/strides are full spatial tuples; padding 'SAME' or 'VALID'.
+    """
+
+    features: int
+    kernel_size: Sequence[int]
+    strides: Optional[Sequence[int]] = None
+    padding: str = "SAME"
+    feature_group_count: int = 1
+    use_bias: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        kernel = tuple(self.kernel_size)
+        in_chans = x.shape[-1]
+        fan_in = (in_chans // self.feature_group_count) * math.prod(kernel)
+        return nn.Conv(
+            features=self.features,
+            kernel_size=kernel,
+            strides=tuple(self.strides) if self.strides is not None else None,
+            padding=self.padding,
+            feature_group_count=self.feature_group_count,
+            use_bias=self.use_bias,
+            kernel_init=torch_default_kernel_init,
+            bias_init=torch_default_bias_init(fan_in),
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+            name="conv",
+        )(x)
+
+
+class ConvTranspose(nn.Module):
+    """N-d transposed convolution, channels-last.
+
+    Only used with kernel_size == strides (pure upsampling), where flax
+    ConvTranspose('VALID') matches torch ConvTranspose exactly.
+    """
+
+    features: int
+    kernel_size: Sequence[int]
+    strides: Sequence[int]
+    use_bias: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        kernel = tuple(self.kernel_size)
+        # transpose_kernel=True gives gradient-of-conv semantics (== torch
+        # ConvTranspose); the kernel layout is then (*k, out, in), so the
+        # torch (in, out, *k) weight maps with the same transpose as Conv.
+        # torch init fan_in for ConvTranspose = weight.shape[1] * prod(k)
+        # = out_chans * prod(kernel).
+        fan_in = self.features * math.prod(kernel)
+        return nn.ConvTranspose(
+            features=self.features,
+            kernel_size=kernel,
+            strides=tuple(self.strides),
+            padding="VALID",
+            use_bias=self.use_bias,
+            transpose_kernel=True,
+            kernel_init=torch_default_kernel_init,
+            bias_init=torch_default_bias_init(fan_in),
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+            name="conv",
+        )(x)
+
+
+class Dense(nn.Module):
+    """Linear layer with xavier-uniform init + zero bias (reference vit.py:38-42)."""
+
+    features: int
+    use_bias: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        return nn.Dense(
+            features=self.features,
+            use_bias=self.use_bias,
+            kernel_init=xavier_uniform,
+            bias_init=nn.initializers.zeros,
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+            name="linear",
+        )(x)
+
+
+class DropPath(nn.Module):
+    """Per-sample stochastic depth."""
+
+    rate: float = 0.0
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
+        if self.rate == 0.0 or deterministic:
+            return x
+        keep_prob = 1.0 - self.rate
+        rng = self.make_rng("dropout")
+        shape = (x.shape[0],) + (1,) * (x.ndim - 1)
+        keep = jax.random.bernoulli(rng, keep_prob, shape)
+        return jnp.where(keep, x / keep_prob, jnp.zeros_like(x))
+
+
+class ConvMlp(nn.Module):
+    """MLP with 1x1 convs (reference conv.py:111-166).
+
+    On channels-last tensors a 1x1 conv is a matmul over the channel axis;
+    XLA lowers both identically onto the MXU.
+    """
+
+    hidden_features: int
+    out_features: Optional[int] = None
+    dropout: float = 0.0
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
+        nd = x.ndim - 2
+        out_features = self.out_features or x.shape[-1]
+        one = (1,) * nd
+        x = Conv(self.hidden_features, one, padding="VALID", dtype=self.dtype, name="fc1")(x)
+        x = gelu(x)
+        x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
+        x = Conv(out_features, one, padding="VALID", dtype=self.dtype, name="fc2")(x)
+        x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
+        return x
+
+
+class ConvNormActBlock(nn.Module):
+    """conv -> norm -> GELU (reference conv.py:212-273)."""
+
+    out_chans: int
+    kernel_size: KernelSize = 3
+    strides: KernelSize = 1
+    padding: str = "SAME"
+    norm: str = "layer"
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        nd = x.ndim - 2
+        x = Conv(
+            self.out_chans,
+            _as_tuple(self.kernel_size, nd),
+            strides=_as_tuple(self.strides, nd),
+            padding=self.padding,
+            dtype=self.dtype,
+            name="conv",
+        )(x)
+        x = get_conv_norm(self.norm, n_chans=self.out_chans, name="norm")(x)
+        return gelu(x)
+
+
+class ConvResBlock(nn.Module):
+    """norm-act-conv x2 + 1x1 shortcut (reference conv.py:276-346)."""
+
+    out_chans: int
+    kernel_size: KernelSize = 3
+    dropout: float = 0.0
+    norm: str = "layer"
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
+        nd = x.ndim - 2
+        in_chans = x.shape[-1]
+        k = _as_tuple(self.kernel_size, nd)
+        h = get_conv_norm(self.norm, n_chans=in_chans, name="norm1")(x)
+        h = gelu(h)
+        h = Conv(self.out_chans, k, padding="SAME", dtype=self.dtype, name="conv1")(h)
+        h = get_conv_norm(self.norm, n_chans=self.out_chans, name="norm2")(h)
+        h = gelu(h)
+        h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
+        h = Conv(self.out_chans, k, padding="SAME", dtype=self.dtype, name="conv2")(h)
+        if in_chans != self.out_chans:
+            x = Conv(self.out_chans, (1,) * nd, padding="VALID", dtype=self.dtype, name="shortcut")(x)
+        return h + x
+
+
+class MaskedConvBlock(nn.Module):
+    """ConvMAE block with mask-multiply (reference conv.py:349-415).
+
+    x += drop_path(conv2(dwconv5(mask * conv1(norm1(x))))); x += drop_path(mlp(norm2(x)))
+    The mask multiply keeps masked-patch pixels from leaking through the
+    conv stem during MAE pretraining.
+    """
+
+    mlp_ratio: int = 4
+    dropout: float = 0.0
+    drop_path: float = 0.0
+    norm: str = "layer"
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        mask: Optional[jnp.ndarray] = None,
+        deterministic: bool = True,
+    ) -> jnp.ndarray:
+        nd = x.ndim - 2
+        chans = x.shape[-1]
+        one = (1,) * nd
+        h = get_conv_norm(self.norm, n_chans=chans, name="norm1")(x)
+        h = Conv(chans, one, padding="VALID", dtype=self.dtype, name="conv1")(h)
+        if mask is not None:
+            h = h * mask[..., None].astype(h.dtype)
+        h = Conv(
+            chans,
+            (5,) * nd,
+            padding="SAME",
+            feature_group_count=chans,
+            dtype=self.dtype,
+            name="dw_conv",
+        )(h)
+        h = Conv(chans, one, padding="VALID", dtype=self.dtype, name="conv2")(h)
+        x = x + DropPath(self.drop_path, name="drop_path1")(h, deterministic)
+        h = get_conv_norm(self.norm, n_chans=chans, name="norm2")(x)
+        h = ConvMlp(
+            hidden_features=chans * self.mlp_ratio,
+            dropout=self.dropout,
+            dtype=self.dtype,
+            name="mlp",
+        )(h, deterministic)
+        return x + DropPath(self.drop_path, name="drop_path2")(h, deterministic)

@@ -1,0 +1,142 @@
+"""ResNet 2D/3D baselines for classification/regression (reference: cinema/resnet.py).
+
+A single rank-generic implementation covers both the reference's torchvision
+2D subclass (resnet.py:318-456) and its from-scratch 3D stack
+(resnet.py:49-315): channels-last convs + BatchNorm, basic and bottleneck
+blocks, configurable per-layer planes, consuming a single-view image dict.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Sequence, Tuple
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from cinema_tpu.models.layers import Conv, Dense
+
+Dtype = Any
+
+
+class BatchNorm(nn.Module):
+    """BatchNorm over batch+spatial axes with running stats (torch semantics)."""
+
+    momentum: float = 0.9
+    epsilon: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        return nn.BatchNorm(
+            use_running_average=not train,
+            momentum=self.momentum,
+            epsilon=self.epsilon,
+            dtype=jnp.float32,
+            name="bn",
+        )(x)
+
+
+class BasicBlock(nn.Module):
+    """3x3-3x3 residual block (reference resnet.py:49-106)."""
+
+    planes: int
+    strides: Tuple[int, ...]
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        nd = x.ndim - 2
+        identity = x
+        out = Conv(self.planes, (3,) * nd, strides=self.strides, padding="SAME", use_bias=False,
+                   dtype=self.dtype, name="conv1")(x)
+        out = BatchNorm(name="bn1")(out, train)
+        out = nn.relu(out)
+        out = Conv(self.planes, (3,) * nd, padding="SAME", use_bias=False, dtype=self.dtype, name="conv2")(out)
+        out = BatchNorm(name="bn2")(out, train)
+        if x.shape[-1] != self.planes or any(s != 1 for s in self.strides):
+            identity = Conv(self.planes, (1,) * nd, strides=self.strides, padding="VALID",
+                            use_bias=False, dtype=self.dtype, name="downsample_conv")(x)
+            identity = BatchNorm(name="downsample_bn")(identity, train)
+        return nn.relu(out + identity)
+
+
+class Bottleneck(nn.Module):
+    """1x1-3x3-1x1 bottleneck block, expansion 4 (reference resnet.py:109-172)."""
+
+    planes: int
+    strides: Tuple[int, ...]
+    expansion: int = 4
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        nd = x.ndim - 2
+        identity = x
+        out_planes = self.planes * self.expansion
+        out = Conv(self.planes, (1,) * nd, padding="VALID", use_bias=False, dtype=self.dtype, name="conv1")(x)
+        out = BatchNorm(name="bn1")(out, train)
+        out = nn.relu(out)
+        out = Conv(self.planes, (3,) * nd, strides=self.strides, padding="SAME", use_bias=False,
+                   dtype=self.dtype, name="conv2")(out)
+        out = BatchNorm(name="bn2")(out, train)
+        out = nn.relu(out)
+        out = Conv(out_planes, (1,) * nd, padding="VALID", use_bias=False, dtype=self.dtype, name="conv3")(out)
+        out = BatchNorm(name="bn3")(out, train)
+        if x.shape[-1] != out_planes or any(s != 1 for s in self.strides):
+            identity = Conv(out_planes, (1,) * nd, strides=self.strides, padding="VALID",
+                            use_bias=False, dtype=self.dtype, name="downsample_conv")(x)
+            identity = BatchNorm(name="downsample_bn")(identity, train)
+        return nn.relu(out + identity)
+
+
+class ResNet(nn.Module):
+    """Rank-generic ResNet (2D or 3D by input rank), dict-in/dict-out.
+
+    Args mirror the reference: layers (blocks per stage), layer_inplanes
+    (stage widths, reference resnet.py:362-369), bottleneck toggle.
+    """
+
+    out_chans: int
+    layers: Tuple[int, ...] = (2, 2, 2, 2)
+    layer_inplanes: Tuple[int, ...] = (64, 128, 256, 512)
+    bottleneck: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        image_dict: Dict[str, jnp.ndarray],
+        train: bool = False,
+    ) -> jnp.ndarray:
+        if len(image_dict) != 1:
+            raise ValueError(f"Only one view is supported, got {len(image_dict)} views.")
+        x = next(iter(image_dict.values()))
+        nd = x.ndim - 2
+
+        x = Conv(self.layer_inplanes[0], (7,) * nd, strides=(2,) * nd, padding="SAME",
+                 use_bias=False, dtype=self.dtype, name="conv1")(x)
+        x = BatchNorm(name="bn1")(x, train)
+        x = nn.relu(x)
+        x = nn.max_pool(x, (3,) * nd, strides=(2,) * nd, padding="SAME")
+
+        block_cls = Bottleneck if self.bottleneck else BasicBlock
+        for stage, (n_blocks, planes) in enumerate(zip(self.layers, self.layer_inplanes)):
+            for b in range(n_blocks):
+                strides = (2,) * nd if (stage > 0 and b == 0) else (1,) * nd
+                x = block_cls(planes=planes, strides=strides, dtype=self.dtype,
+                              name=f"layer{stage + 1}_{b}")(x, train)
+
+        x = jnp.mean(x, axis=tuple(range(1, x.ndim - 1)))  # global average pool
+        return Dense(self.out_chans, dtype=self.dtype, name="fc")(x)
+
+
+def get_resnet(size: str, out_chans: int, dtype: Dtype = jnp.float32) -> ResNet:
+    """ResNet presets (reference get_resnet2d/3d, resnet.py:283-456)."""
+    presets = {
+        "resnet10": dict(layers=(1, 1, 1, 1), bottleneck=False),
+        "resnet18": dict(layers=(2, 2, 2, 2), bottleneck=False),
+        "resnet34": dict(layers=(3, 4, 6, 3), bottleneck=False),
+        "resnet50": dict(layers=(3, 4, 6, 3), bottleneck=True),
+    }
+    if size not in presets:
+        raise ValueError(f"size must be in {sorted(presets)}, got {size}.")
+    return ResNet(out_chans=out_chans, dtype=dtype, **presets[size])

@@ -1,0 +1,142 @@
+"""Tests for ConvUNetR, UNet, and ResNet baselines."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cinema_tpu.models.convunetr import (
+    ConvUNetR,
+    UpsampleDecoder,
+    check_conv_unetr_enc_dec_compatibility,
+)
+from cinema_tpu.models.resnet import ResNet, get_resnet
+from cinema_tpu.models.unet import UNet
+
+
+def test_compat_check_acdc_geometry():
+    """ACDC config geometry (reference segmentation/acdc/config.yaml:56-64)."""
+    n_wo_skip, n_down = check_conv_unetr_enc_dec_compatibility(
+        enc_patch_size=(4, 4, 1),
+        enc_scale_factor=(2, 2, 1),
+        enc_n_conv_layers=2,
+        dec_depth=5,
+        dec_patch_size=(2, 2, 1),
+        dec_scale_factor=(2, 2, 1),
+    )
+    # dec_factor hits enc_patch (4,4,1) after 1 dec layer and enc_factor
+    # (16,16,1) at layer 3 of 5 -> one extra downsample level below the grid
+    assert (n_wo_skip, n_down) == (1, 1)
+
+
+def test_compat_check_errors():
+    with pytest.raises(ValueError):
+        check_conv_unetr_enc_dec_compatibility((4, 4), (2, 2), 5, 5, (2, 2), (2, 2))
+    with pytest.raises(ValueError):
+        check_conv_unetr_enc_dec_compatibility((1, 1), (2, 2), 1, 5, (2, 2), (2, 2))
+    with pytest.raises(ValueError):
+        check_conv_unetr_enc_dec_compatibility((3, 3), (2, 2), 1, 5, (2, 2), (2, 2))
+
+
+def test_upsample_decoder():
+    dec = UpsampleDecoder(chans=(4, 8, 16), patch_size=(2, 2), scale_factor=(2, 2))
+    embeddings = [
+        jnp.ones((2, 32, 32, 4)),  # finest skip (after the patch-size up)
+        jnp.ones((2, 16, 16, 4)),
+        jnp.ones((2, 8, 8, 8)),
+        jnp.ones((2, 4, 4, 16)),  # coarsest, popped first
+    ]
+    params = dec.init(jax.random.PRNGKey(0), embeddings)
+    out = dec.apply(params, embeddings)
+    assert out.shape == (2, 32, 32, 4)
+
+
+def _tiny_convunetr(views=("sax",)):
+    sizes = {"sax": (32, 32, 4), "lax_2c": (32, 32)}
+    nd = {v: len(sizes[v]) for v in views}
+    return ConvUNetR(
+        image_size_dict={v: sizes[v] for v in views},
+        in_chans_dict={v: 1 for v in views},
+        out_chans=4,
+        enc_patch_size_dict={v: (4, 4, 1)[: nd[v]] for v in views},
+        enc_scale_factor_dict={v: (2, 2, 1)[: nd[v]] for v in views},
+        enc_conv_chans=(8, 16),
+        enc_conv_n_blocks=1,
+        enc_embed_dim=16,
+        enc_depth=1,
+        enc_n_heads=2,
+        dec_chans=(4, 8, 16, 24, 32),
+        dec_patch_size_dict={v: (2, 2, 1)[: nd[v]] for v in views},
+        dec_scale_factor_dict={v: (2, 2, 1)[: nd[v]] for v in views},
+    )
+
+
+@pytest.mark.parametrize("views", [("sax",), ("lax_2c",), ("sax", "lax_2c")])
+def test_convunetr_forward(views):
+    sizes = {"sax": (32, 32, 4), "lax_2c": (32, 32)}
+    model = _tiny_convunetr(views)
+    images = {v: jnp.ones((2, *sizes[v], 1)) for v in views}
+    params = model.init(jax.random.PRNGKey(0), images)
+    preds = model.apply(params, images)
+    for v in views:
+        assert preds[v].shape == (2, *sizes[v], 4)
+        assert np.isfinite(np.asarray(preds[v])).all()
+
+
+def test_convunetr_shares_encoder_params():
+    model = _tiny_convunetr(("sax", "lax_2c"))
+    images = {"sax": jnp.ones((1, 32, 32, 4, 1)), "lax_2c": jnp.ones((1, 32, 32, 1))}
+    params = model.init(jax.random.PRNGKey(0), images)
+    keys = set(params["params"].keys())
+    assert "encoder" in keys  # one shared trunk
+    assert "enc_down_dict_sax" in keys and "enc_down_dict_lax_2c" in keys
+
+
+@pytest.mark.parametrize("n_dims", [2, 3])
+def test_unet_forward(n_dims):
+    size = (32, 32) if n_dims == 2 else (32, 32, 4)
+    model = UNet(
+        n_dims=n_dims,
+        in_chans=1,
+        out_chans=4,
+        chans=(4, 8, 16),
+        patch_size=(2, 2, 1)[:n_dims],
+        scale_factor=(2, 2, 1)[:n_dims],
+    )
+    images = {"sax": jnp.ones((2, *size, 1))}
+    params = model.init(jax.random.PRNGKey(0), images)
+    preds = model.apply(params, images)
+    assert preds["sax"].shape == (2, *size, 4)
+    assert np.isfinite(np.asarray(preds["sax"])).all()
+
+
+def test_unet_rejects_multi_view():
+    model = UNet(n_dims=2, in_chans=1, out_chans=2, chans=(4, 8))
+    images = {"a": jnp.ones((1, 16, 16, 1)), "b": jnp.ones((1, 16, 16, 1))}
+    with pytest.raises(ValueError):
+        model.init(jax.random.PRNGKey(0), images)
+
+
+@pytest.mark.parametrize("nd", [2, 3])
+def test_resnet_forward(nd):
+    size = (32, 32) if nd == 2 else (32, 32, 8)
+    model = get_resnet("resnet10", out_chans=3)
+    images = {"sax": jnp.ones((2, *size, 2))}
+    params = model.init(jax.random.PRNGKey(0), images)
+    logits = model.apply(params, images)
+    assert logits.shape == (2, 3)
+
+
+def test_resnet_bottleneck_and_train_mode():
+    model = ResNet(out_chans=2, layers=(1, 1, 1, 1), layer_inplanes=(4, 8, 8, 8), bottleneck=True)
+    images = {"sax": jnp.ones((2, 32, 32, 1))}
+    variables = model.init(jax.random.PRNGKey(0), images, True)
+    assert "batch_stats" in variables
+    logits, updates = model.apply(variables, images, True, mutable=["batch_stats"])
+    assert logits.shape == (2, 2)
+    assert "batch_stats" in updates
+
+
+def test_get_resnet_unknown():
+    with pytest.raises(ValueError):
+        get_resnet("resnet1000", out_chans=1)

@@ -1,0 +1,176 @@
+"""Train state and jitted distributed train steps.
+
+One jitted, donated train step replaces the reference's python-side epoch
+loop body (autocast + GradScaler + clip + step, reference train.py:85-168):
+under SPMD the gradient all-reduce over the 'data' mesh axis is emitted by
+XLA, and NaN-loss skipping (reference train.py:138-140) is a jnp.where on
+the updates — no host round-trip.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+from jax.sharding import Mesh
+
+from cinema_tpu.parallel.mesh import param_shardings
+
+
+class TrainState(struct.PyTreeNode):
+    """Model params + optimizer state + step counter."""
+
+    step: jnp.ndarray
+    params: Any
+    opt_state: Any
+    n_samples: jnp.ndarray
+
+    @classmethod
+    def create(cls, params: Any, tx: optax.GradientTransformation) -> "TrainState":
+        return cls(
+            step=jnp.zeros((), jnp.int32),
+            params=params,
+            opt_state=tx.init(params),
+            n_samples=jnp.zeros((), jnp.int32),
+        )
+
+
+def make_train_state(
+    init_fn: Callable[[], Any],
+    tx: optax.GradientTransformation,
+    mesh: Optional[Mesh] = None,
+) -> Tuple[TrainState, Any]:
+    """Create a TrainState with jitted init (fast on TPU) and optional sharding.
+
+    Shardings for the WHOLE state (params + Adam moments) come from one
+    path-based rule — the moments' tree paths end with the same param path
+    suffixes, so the TP rules apply uniformly.
+
+    Args:
+        init_fn: zero-arg function returning the param tree.
+        tx: optax transformation.
+        mesh: if given, state gets TP shardings over the 'model' axis.
+
+    Returns:
+        (state, state_shardings or None).
+    """
+
+    def init_state() -> TrainState:
+        return TrainState.create(init_fn(), tx)
+
+    if mesh is None:
+        return jax.jit(init_state)(), None
+
+    abstract = jax.eval_shape(init_state)
+    state_shardings = param_shardings(abstract, mesh)
+    state = jax.jit(init_state, out_shardings=state_shardings)()
+    return state, state_shardings
+
+
+def make_mae_train_step(
+    model: Any,
+    tx: optax.GradientTransformation,
+    enc_mask_ratio: float,
+    mesh: Optional[Mesh] = None,
+    state_shardings: Optional[Any] = None,
+    donate: bool = True,
+) -> Callable[[TrainState, Dict[str, jnp.ndarray], jax.Array], Tuple[TrainState, Dict[str, jnp.ndarray]]]:
+    """Build the jitted MAE pretrain step.
+
+    The step: forward (bf16 compute), grads, NaN-skip, optax update.
+    Under a mesh, batches shard over 'data' and XLA reduces grads over ICI.
+    """
+
+    def step_fn(state: TrainState, batch: Dict[str, jnp.ndarray], rng: jax.Array):
+        rng = jax.random.fold_in(rng, state.step)
+
+        def loss_fn(params):
+            loss, _preds, _masks, metrics = model.apply(
+                params, batch, enc_mask_ratio, rngs={"mask": rng}, deterministic=False
+            )
+            return loss, metrics
+
+        (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+
+        # NaN-loss skip (reference train.py:138-140): keep old state
+        ok = jnp.isfinite(loss)
+        new_params = jax.tree_util.tree_map(
+            lambda new, old: jnp.where(ok, new, old), new_params, state.params
+        )
+        new_opt_state = jax.tree_util.tree_map(
+            lambda new, old: jnp.where(ok, new, old), new_opt_state, state.opt_state
+        )
+        batch_size = next(iter(batch.values())).shape[0]
+        metrics = dict(metrics)
+        metrics["grad_norm"] = optax.global_norm(grads)
+        metrics["skipped_nan"] = (~ok).astype(jnp.float32)
+        new_state = state.replace(
+            step=state.step + 1,
+            params=new_params,
+            opt_state=new_opt_state,
+            n_samples=state.n_samples + batch_size,
+        )
+        return new_state, metrics
+
+    if mesh is None:
+        return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
+
+    return jax.jit(
+        step_fn,
+        in_shardings=(state_shardings, None, None),
+        out_shardings=(state_shardings, None),
+        donate_argnums=(0,) if donate else (),
+    )
+
+
+def make_supervised_train_step(
+    model: Any,
+    tx: optax.GradientTransformation,
+    loss_fn: Callable[..., Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]],
+    mesh: Optional[Mesh] = None,
+    state_shardings: Optional[Any] = None,
+    donate: bool = True,
+) -> Callable:
+    """Generic supervised train step: loss_fn(model, params, batch, rng) -> (loss, metrics)."""
+
+    def step_fn(state: TrainState, batch: Dict[str, jnp.ndarray], rng: jax.Array):
+        rng = jax.random.fold_in(rng, state.step)
+
+        def wrapped(params):
+            return loss_fn(model, params, batch, rng)
+
+        (loss, metrics), grads = jax.value_and_grad(wrapped, has_aux=True)(state.params)
+        updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        ok = jnp.isfinite(loss)
+        new_params = jax.tree_util.tree_map(
+            lambda new, old: jnp.where(ok, new, old), new_params, state.params
+        )
+        new_opt_state = jax.tree_util.tree_map(
+            lambda new, old: jnp.where(ok, new, old), new_opt_state, state.opt_state
+        )
+        first = next(iter(batch.values()))
+        metrics = dict(metrics)
+        metrics["grad_norm"] = optax.global_norm(grads)
+        metrics["skipped_nan"] = (~ok).astype(jnp.float32)
+        new_state = state.replace(
+            step=state.step + 1,
+            params=new_params,
+            opt_state=new_opt_state,
+            n_samples=state.n_samples + first.shape[0],
+        )
+        return new_state, metrics
+
+    if mesh is None:
+        return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
+    return jax.jit(
+        step_fn,
+        in_shardings=(state_shardings, None, None),
+        out_shardings=(state_shardings, None),
+        donate_argnums=(0,) if donate else (),
+    )

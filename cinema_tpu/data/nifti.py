@@ -1,0 +1,225 @@
+"""Self-contained NIfTI-1 reader/writer with frame-seek 4D reads.
+
+The reference reads NIfTI via SimpleITK (not available here). This module
+implements the NIfTI-1 spec directly (348-byte header + raw voxels,
+optionally gzipped). Arrays are returned in x-fastest Fortran voxel order
+mapped to numpy shape (nx, ny, nz[, nt]) with C-order axes — i.e.
+``arr[x, y, z, t]`` indexing, matching SimpleITK's GetArrayFromImage
+transposed convention used throughout the reference preprocessing.
+
+Frame-seek: a 4D cine volume stores each time frame contiguously, so
+``load_nifti_frame`` reads exactly one frame — seeking directly for .nii
+and stream-decompressing only the needed prefix for .nii.gz — replacing
+the reference's sitk.ImageFileReader.SetExtractIndex streaming read
+(mae/pretrain.py:88-119).
+"""
+
+from __future__ import annotations
+
+import gzip
+import struct
+from dataclasses import dataclass, field
+from pathlib import Path
+from typing import BinaryIO, Optional, Sequence, Tuple, Union
+
+import numpy as np
+
+_DTYPES = {
+    2: np.dtype(np.uint8),
+    4: np.dtype(np.int16),
+    8: np.dtype(np.int32),
+    16: np.dtype(np.float32),
+    64: np.dtype(np.float64),
+    256: np.dtype(np.int8),
+    512: np.dtype(np.uint16),
+    768: np.dtype(np.uint32),
+}
+_DTYPE_CODES = {v: k for k, v in _DTYPES.items()}
+
+HEADER_SIZE = 348
+
+
+@dataclass
+class NiftiHeader:
+    """Subset of the NIfTI-1 header the framework needs."""
+
+    shape: Tuple[int, ...]
+    dtype: np.dtype
+    spacing: Tuple[float, ...]
+    affine: np.ndarray  # 4x4 voxel->world
+    vox_offset: int
+    scl_slope: float = 1.0
+    scl_inter: float = 0.0
+    descrip: bytes = b""
+
+
+def _open(path: Union[str, Path], mode: str = "rb") -> BinaryIO:
+    path = Path(path)
+    if path.suffix == ".gz":
+        return gzip.open(path, mode)  # type: ignore[return-value]
+    return open(path, mode)
+
+
+def _parse_header(raw: bytes) -> NiftiHeader:
+    if len(raw) < HEADER_SIZE:
+        raise ValueError(f"NIfTI header too short: {len(raw)} bytes.")
+    sizeof_hdr = struct.unpack_from("<i", raw, 0)[0]
+    if sizeof_hdr != HEADER_SIZE:
+        raise ValueError(f"Not a little-endian NIfTI-1 file (sizeof_hdr={sizeof_hdr}).")
+    magic = raw[344:348]
+    if magic not in (b"n+1\x00", b"ni1\x00"):
+        raise ValueError(f"Bad NIfTI magic: {magic!r}.")
+    dim = struct.unpack_from("<8h", raw, 40)
+    ndim = dim[0]
+    if ndim < 1 or ndim > 7:
+        raise ValueError(f"Unsupported ndim {ndim}.")
+    shape = tuple(int(d) for d in dim[1 : 1 + ndim])
+    datatype = struct.unpack_from("<h", raw, 70)[0]
+    if datatype not in _DTYPES:
+        raise ValueError(f"Unsupported NIfTI datatype code {datatype}.")
+    pixdim = struct.unpack_from("<8f", raw, 76)
+    vox_offset = int(struct.unpack_from("<f", raw, 108)[0])
+    scl_slope = struct.unpack_from("<f", raw, 112)[0]
+    scl_inter = struct.unpack_from("<f", raw, 116)[0]
+    descrip = raw[148:228].rstrip(b"\x00")
+    sform_code = struct.unpack_from("<h", raw, 254)[0]
+    affine = np.eye(4)
+    if sform_code > 0:
+        srow = struct.unpack_from("<12f", raw, 280)
+        affine[0, :] = srow[0:4]
+        affine[1, :] = srow[4:8]
+        affine[2, :] = srow[8:12]
+    else:
+        for i in range(3):
+            affine[i, i] = pixdim[i + 1] if i < ndim else 1.0
+    spacing = tuple(float(abs(p)) if p != 0 else 1.0 for p in pixdim[1 : 1 + ndim])
+    return NiftiHeader(
+        shape=shape,
+        dtype=_DTYPES[datatype],
+        spacing=spacing,
+        affine=affine,
+        vox_offset=max(vox_offset, HEADER_SIZE + 4),
+        scl_slope=float(scl_slope) if scl_slope != 0 else 1.0,
+        scl_inter=float(scl_inter),
+        descrip=descrip,
+    )
+
+
+def load_nifti_header(path: Union[str, Path]) -> NiftiHeader:
+    """Read only the header."""
+    with _open(path) as f:
+        return _parse_header(f.read(HEADER_SIZE))
+
+
+def load_nifti(path: Union[str, Path]) -> Tuple[np.ndarray, NiftiHeader]:
+    """Read a full NIfTI volume.
+
+    Returns:
+        (array of shape header.shape with x-fastest storage mapped to
+        ``arr[x, y, ...]``, header). Scaling (scl_slope/inter) is applied
+        when non-identity (output float32 in that case).
+    """
+    with _open(path) as f:
+        raw = f.read()
+    header = _parse_header(raw[:HEADER_SIZE])
+    n_items = int(np.prod(header.shape))
+    data = np.frombuffer(
+        raw, dtype=header.dtype, count=n_items, offset=header.vox_offset
+    )
+    # NIfTI stores x fastest: numpy C-order view has shape reversed
+    arr = data.reshape(header.shape[::-1]).transpose(tuple(range(len(header.shape) - 1, -1, -1)))
+    if header.scl_slope != 1.0 or header.scl_inter != 0.0:
+        arr = arr.astype(np.float32) * header.scl_slope + header.scl_inter
+    return np.ascontiguousarray(arr), header
+
+
+def load_nifti_frame(path: Union[str, Path], t: int) -> Tuple[np.ndarray, NiftiHeader]:
+    """Read ONE time frame of a 4D NIfTI without loading the rest.
+
+    For .nii the frame is seek-read directly; for .nii.gz only the prefix up
+    to the frame end is decompressed (zlib streams are sequential).
+
+    Args:
+        path: 4D NIfTI path.
+        t: frame index in [0, nt).
+
+    Returns:
+        ((nx, ny, nz) array, header).
+    """
+    path = Path(path)
+    header = load_nifti_header(path)
+    if len(header.shape) != 4:
+        raise ValueError(f"Expected 4D volume, got shape {header.shape}.")
+    nx, ny, nz, nt = header.shape
+    if not 0 <= t < nt:
+        raise ValueError(f"Frame {t} out of range [0, {nt}).")
+    frame_items = nx * ny * nz
+    frame_bytes = frame_items * header.dtype.itemsize
+    offset = header.vox_offset + t * frame_bytes
+
+    if path.suffix == ".gz":
+        with gzip.open(path, "rb") as f:
+            f.seek(offset)  # sequential decompression up to the offset
+            buf = f.read(frame_bytes)
+    else:
+        with open(path, "rb") as f:
+            f.seek(offset)
+            buf = f.read(frame_bytes)
+    data = np.frombuffer(buf, dtype=header.dtype, count=frame_items)
+    arr = data.reshape((nz, ny, nx)).transpose(2, 1, 0)
+    if header.scl_slope != 1.0 or header.scl_inter != 0.0:
+        arr = arr.astype(np.float32) * header.scl_slope + header.scl_inter
+    return np.ascontiguousarray(arr), header
+
+
+def save_nifti(
+    path: Union[str, Path],
+    array: np.ndarray,
+    spacing: Optional[Sequence[float]] = None,
+    affine: Optional[np.ndarray] = None,
+    descrip: bytes = b"cinema_tpu",
+) -> None:
+    """Write a NIfTI-1 file (gzipped if the path ends in .gz).
+
+    Args:
+        array: (nx, ny[, nz[, nt]]) with ``arr[x, y, ...]`` indexing.
+        spacing: per-axis spacing (defaults to 1s).
+        affine: 4x4 sform (defaults to diag(spacing)).
+    """
+    array = np.asarray(array)
+    if array.dtype not in _DTYPE_CODES:
+        array = array.astype(np.float32)
+    ndim = array.ndim
+    if ndim < 2 or ndim > 4:
+        raise ValueError(f"Only 2D-4D arrays supported, got {ndim}D.")
+    spacing = tuple(float(s) for s in (spacing or (1.0,) * ndim))
+    if len(spacing) != ndim:
+        raise ValueError(f"Spacing rank {len(spacing)} != array rank {ndim}.")
+    if affine is None:
+        affine = np.eye(4)
+        for i in range(min(3, ndim)):
+            affine[i, i] = spacing[i]
+
+    header = bytearray(HEADER_SIZE)
+    struct.pack_into("<i", header, 0, HEADER_SIZE)
+    dim = [ndim] + list(array.shape) + [1] * (7 - ndim)
+    struct.pack_into("<8h", header, 40, *dim)
+    struct.pack_into("<h", header, 70, _DTYPE_CODES[array.dtype])
+    struct.pack_into("<h", header, 72, array.dtype.itemsize * 8)  # bitpix
+    pixdim = [1.0] + list(spacing) + [1.0] * (7 - ndim)
+    struct.pack_into("<8f", header, 76, *pixdim)
+    struct.pack_into("<f", header, 108, float(HEADER_SIZE + 4))  # vox_offset
+    struct.pack_into("<f", header, 112, 1.0)  # scl_slope
+    struct.pack_into("<f", header, 116, 0.0)  # scl_inter
+    header[148 : 148 + min(len(descrip), 79)] = descrip[:79]
+    struct.pack_into("<h", header, 252, 1)  # qform_code (identity-ish)
+    struct.pack_into("<h", header, 254, 1)  # sform_code
+    struct.pack_into("<12f", header, 280, *affine[:3].reshape(-1).astype(np.float32))
+    header[344:348] = b"n+1\x00"
+
+    # x-fastest storage: write the transposed C-order buffer
+    payload = np.ascontiguousarray(array.transpose(tuple(range(ndim - 1, -1, -1)))).tobytes()
+    with _open(path, "wb") as f:
+        f.write(bytes(header))
+        f.write(b"\x00\x00\x00\x00")  # extension flag
+        f.write(payload)

@@ -1,0 +1,121 @@
+"""Sliding-window inference (reference: cinema/segmentation/train.py:148-221,
+cinema/segmentation/landmark/train.py:135-208, classification/regression
+forwards).
+
+The reference loops patches serially at batch 1 through the model (its hot
+inference loop). Here all patches form ONE batch — non-patched views are
+tiled across the patch batch — so a whole study is a single jitted forward,
+followed by fused scatter-average aggregation.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cinema_tpu.ops.window import aggregate_patches, get_patch_grid, patch_grid_sample
+
+ForwardFn = Callable[[Dict[str, jnp.ndarray]], Dict[str, jnp.ndarray]]
+
+
+def _logit(p: jnp.ndarray, eps: float = 1e-7) -> jnp.ndarray:
+    p = jnp.clip(p, eps, 1.0 - eps)
+    return jnp.log(p) - jnp.log1p(-p)
+
+
+def sliding_window_forward(
+    forward_fn: ForwardFn,
+    image_dict: Dict[str, jnp.ndarray],
+    patch_size_dict: Dict[str, Tuple[int, ...]],
+    aggregation: str = "softmax",
+) -> Dict[str, jnp.ndarray]:
+    """Patch one oversized view on a grid, batch-forward, scatter-average.
+
+    Args:
+        forward_fn: batched model forward, image_dict -> logits_dict
+            (channels-last).
+        image_dict: per-view (1, *spatial, ch); at most one view larger than
+            its patch size (reference restriction, segmentation/train.py:184-188).
+        patch_size_dict: per-view inference patch size.
+        aggregation: 'softmax' (mutually exclusive classes: softmax-average
+            then log) or 'sigmoid' (independent channels: sigmoid-average
+            then logit restore, reference landmark/train.py:176-200).
+
+    Returns:
+        logits_dict: per-view (1, *image_size, out_chans).
+    """
+    views = list(image_dict.keys())
+    for view, image in image_dict.items():
+        if any(s < p for s, p in zip(image.shape[1:-1], patch_size_dict[view])):
+            raise ValueError(
+                f"For view {view}, image size {image.shape[1:-1]} is smaller than "
+                f"patch size {patch_size_dict[view]}."
+            )
+    need_patch = {
+        view: tuple(image_dict[view].shape[1:-1]) != tuple(patch_size_dict[view]) for view in views
+    }
+    if not any(need_patch.values()):
+        return forward_fn(image_dict)
+    if sum(need_patch.values()) > 1:
+        raise ValueError(f"Only support patching on one view for now, but got {need_patch}.")
+    batch = image_dict[views[0]].shape[0]
+    if batch != 1:
+        raise ValueError(f"Expected batch size 1 for patching, but got {batch}.")
+
+    view_to_patch = next(v for v, n in need_patch.items() if n)
+    image = image_dict[view_to_patch][0]  # (*spatial, ch)
+    patch_size = tuple(patch_size_dict[view_to_patch])
+    image_size = image.shape[:-1]
+    overlap = tuple(s // 2 for s in patch_size)
+    grid = get_patch_grid(image_size, patch_size, overlap)
+    patches = patch_grid_sample(image, grid, patch_size)  # (n_patches, *patch, ch)
+    n_patches = patches.shape[0]
+
+    # one batched forward: tile the other views across the patch batch
+    patch_image_dict = {
+        view: patches
+        if view == view_to_patch
+        else jnp.broadcast_to(image_dict[view], (n_patches, *image_dict[view].shape[1:]))
+        for view in views
+    }
+    logits_dict = forward_fn(patch_image_dict)
+
+    to_probs = jax.nn.softmax if aggregation == "softmax" else jax.nn.sigmoid
+    from_probs = jnp.log if aggregation == "softmax" else _logit
+    out: Dict[str, jnp.ndarray] = {}
+    for view in views:
+        logits = logits_dict[view].astype(jnp.float32)
+        if view == view_to_patch:
+            probs = to_probs(logits, axis=-1) if aggregation == "softmax" else to_probs(logits)
+            probs = aggregate_patches(probs, grid, image_size)
+            out[view] = from_probs(probs)[None]
+        else:
+            probs = to_probs(logits, axis=-1) if aggregation == "softmax" else to_probs(logits)
+            out[view] = from_probs(jnp.mean(probs, axis=0))[None]
+    return out
+
+
+def pad_to_multiple(
+    image: np.ndarray,
+    multiples: Sequence[int],
+    mode: str = "constant",
+) -> Tuple[np.ndarray, Tuple[int, ...]]:
+    """End-pad spatial dims to multiples (bucketing to avoid recompiles).
+
+    Args:
+        image: (*spatial, ch) numpy array.
+        multiples: per-axis size multiple.
+
+    Returns:
+        (padded image, original spatial shape).
+    """
+    spatial = image.shape[:-1]
+    pads = []
+    for s, m in zip(spatial, multiples):
+        target = int(np.ceil(s / m) * m) if m > 1 else s
+        pads.append((0, target - s))
+    pads.append((0, 0))
+    return np.pad(image, pads, mode=mode), tuple(spatial)

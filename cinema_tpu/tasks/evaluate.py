@@ -1,0 +1,213 @@
+"""``cinema_eval`` dispatcher (reference: cinema/eval.py + segmentation/eval.py).
+
+Loads a run folder (config.yaml + latest exported safetensors), rebuilds the
+model, and evaluates the requested dataset split, writing metrics.csv /
+mean_metrics.csv / ef_metrics.csv artifacts like the reference.
+"""
+
+from __future__ import annotations
+
+import argparse
+from pathlib import Path
+from typing import Dict, List, Optional
+
+import jax
+import numpy as np
+import pandas as pd
+
+from cinema_tpu.config import Config, load_config
+from cinema_tpu.data.datasets import (
+    BatchLoader,
+    EDESClassificationDataset,
+    EDESRegressionDataset,
+    EDESSegmentationDataset,
+    EMIDECDataset,
+    MYOPS2020Dataset,
+)
+from cinema_tpu.data.transforms import get_segmentation_transforms
+from cinema_tpu.log import get_logger
+from cinema_tpu.metrics import ejection_fraction, get_ef_region
+from cinema_tpu.tasks.segmentation import (
+    make_seg_forward,
+    patch_and_spacing_dicts,
+    segmentation_eval_batch,
+)
+
+logger = get_logger(__name__)
+
+
+def load_run(folder: Path, dtype=None):
+    """Rebuild model + params from a run folder (config.yaml + model_*.safetensors)."""
+    import jax.numpy as jnp
+
+    from cinema_tpu.bridge.torch_loader import load_torch_state_dict
+    from cinema_tpu.factory import (
+        get_convvit_model,
+        get_segmentation_model,
+        init_params,
+        load_safetensors,
+    )
+
+    config = load_config(folder / "config.yaml")
+    sts = sorted(folder.glob("*.safetensors"), key=lambda p: p.stat().st_mtime)
+    if not sts:
+        raise FileNotFoundError(f"No safetensors checkpoints in {folder}.")
+    ckpt = sts[-1]
+    logger.info(f"Using checkpoint: {ckpt}")
+    dtype = dtype or jnp.float32
+    if config.task == "segmentation":
+        model = get_segmentation_model(config, dtype=dtype)
+    else:
+        from cinema_tpu.tasks.classification import get_classification_model
+
+        model = get_classification_model(config, dtype=dtype)
+    views = [config.model.views] if isinstance(config.model.views, str) else list(config.model.views)
+
+    def view_cfg(v):
+        if v == "sax":
+            return config.data.sax
+        if "lax" in config.data:
+            return config.data.lax
+        return config.data[v]
+
+    example = {}
+    for v in views:
+        import numpy as _np
+
+        size = tuple(view_cfg(v).patch_size)
+        chans = view_cfg(v).in_chans
+        if config.task in ("classification", "regression") and config.data.get("regression_column") != "landmark":
+            chans = chans * config.model.get("n_frames", 1)
+        example[v] = _np.zeros((1, *size, chans), _np.float32)
+    params = init_params(model, example)
+    params, _, _ = load_torch_state_dict(params, load_safetensors(ckpt), strict=False)
+    return config, model, params
+
+
+def ef_metrics_from_edes(df: pd.DataFrame, lv_class: int = 3) -> pd.DataFrame:
+    """Patient-level EF from ED/ES volume rows (reference segmentation/eval.py:28-118)."""
+    ed = df[df["is_ed"]].set_index("pid")
+    es = df[~df["is_ed"]].set_index("pid")
+    merged = ed.join(es, lsuffix="_ed", rsuffix="_es", how="inner")
+    out = pd.DataFrame(index=merged.index)
+    for kind in ["true", "pred"]:
+        edv = merged[f"class_{lv_class}_{kind}_volume_ed"]
+        esv = merged[f"class_{lv_class}_{kind}_volume_es"]
+        out[f"{kind}_ef"] = ejection_fraction(edv, esv)
+    out["ef_error"] = out["pred_ef"] - out["true_ef"]
+    out["true_region"] = out["true_ef"].map(get_ef_region)
+    out["pred_region"] = out["pred_ef"].map(get_ef_region)
+    return out.reset_index()
+
+
+def edes_seg_eval(config: Config, split: str, out_dir: Path, model, params, metrics_fn=None) -> None:
+    """Per-sample metrics + EF merge over a test split."""
+    from cinema_tpu.metrics import segmentation_metrics
+
+    data_dir = Path(config.data.dir).expanduser()
+    meta_path = data_dir / f"{split}_metadata.csv"
+    meta_df = pd.read_csv(meta_path, dtype={"pid": str})
+    _, val_transform = get_segmentation_transforms(config)
+    views = config.model.views
+    dataset = EDESSegmentationDataset(data_dir / split, meta_df, views=views, transform=val_transform)
+    loader = BatchLoader(dataset, batch_size=1, n_workers=config.train.get("n_workers", 4))
+    patch_size_dict, spacing_dict = patch_and_spacing_dicts(config)
+    forward = make_seg_forward(model)
+
+    rows: List[Dict] = []
+    for batch in loader:
+        _, metrics = segmentation_eval_batch(
+            forward, params, batch, patch_size_dict, spacing_dict, metrics_fn or segmentation_metrics
+        )
+        metrics["pid"] = batch["pid"][0]
+        metrics["is_ed"] = bool(np.asarray(batch["is_ed"]).reshape(-1)[0])
+        rows.append(metrics)
+    df = pd.DataFrame(rows)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    df.to_csv(out_dir / "metrics.csv", index=False)
+    mean_df = df.drop(columns=["pid", "is_ed"]).mean(numeric_only=True).to_frame().T
+    mean_df.to_csv(out_dir / "mean_metrics.csv", index=False)
+    view = views if isinstance(views, str) else views[0]
+    vol_cols = [c for c in df.columns if "volume" in c and c.startswith(view)]
+    if vol_cols:
+        slim = df[["pid", "is_ed"] + vol_cols].rename(
+            columns={c: c[len(view) + 1 :] for c in vol_cols}
+        )
+        ef_df = ef_metrics_from_edes(slim)
+        ef_df.to_csv(out_dir / "ef_metrics.csv", index=False)
+    logger.info(f"Wrote metrics to {out_dir}.")
+
+
+def main(argv: Optional[list] = None) -> None:
+    parser = argparse.ArgumentParser(description="Evaluate a cinema_tpu run folder.")
+    parser.add_argument("--folder_path", type=Path, required=True)
+    parser.add_argument("--split", type=str, default="test")
+    parser.add_argument("--data", type=str, default="")
+    args = parser.parse_args(argv)
+
+    config, model, params = load_run(args.folder_path)
+    data = args.data or config.data.name
+    out_dir = args.folder_path / f"{data}_eval"
+
+    if config.task == "segmentation":
+        if data in ("acdc", "mnms", "mnms2"):
+            edes_seg_eval(config, args.split, out_dir, model, params)
+        elif data == "emidec":
+            from cinema_tpu.tasks.segmentation.emidec import emidec_segmentation_metrics
+
+            edes_seg_eval(config, args.split, out_dir, model, params, emidec_segmentation_metrics)
+        elif data == "myops2020":
+            from cinema_tpu.tasks.segmentation.myops2020 import myops2020_segmentation_metrics
+
+            edes_seg_eval(config, args.split, out_dir, model, params, myops2020_segmentation_metrics)
+        elif data == "kaggle":
+            from cinema_tpu.tasks.segmentation.kaggle import evaluate_kaggle
+
+            metrics = evaluate_kaggle(model, params, config, split=args.split)
+            out_dir.mkdir(parents=True, exist_ok=True)
+            pd.DataFrame([metrics]).to_csv(out_dir / "mean_metrics.csv", index=False)
+        else:
+            raise ValueError(f"Unknown dataset: {data}")
+    elif config.task == "classification":
+        from cinema_tpu.tasks.classification import classification_eval_dataloader
+
+        data_dir = Path(config.data.dir).expanduser()
+        meta_df = pd.read_csv(data_dir / f"{args.split}_metadata.csv", dtype={"pid": str})
+        class_col = config.data.class_column
+        classes = list(config.data[class_col])
+        meta_df = meta_df[meta_df[class_col].isin(classes)].reset_index(drop=True)
+        _, val_transform = get_segmentation_transforms(config)
+        dataset = EDESClassificationDataset(
+            data_dir / args.split, meta_df, class_col, classes, config.model.views, val_transform
+        )
+        loader = BatchLoader(dataset, batch_size=1, n_workers=config.train.get("n_workers", 4))
+        metrics = classification_eval_dataloader(model, params, loader, config)
+        out_dir.mkdir(parents=True, exist_ok=True)
+        pd.DataFrame([metrics]).to_csv(out_dir / "mean_metrics.csv", index=False)
+    elif config.task == "regression":
+        from cinema_tpu.tasks.regression import regression_eval_dataloader
+
+        data_dir = Path(config.data.dir).expanduser()
+        meta_df = pd.read_csv(data_dir / f"{args.split}_metadata.csv", dtype={"pid": str})
+        reg_col = config.data.regression_column
+        meta_df = meta_df.dropna(subset=[reg_col]).reset_index(drop=True)
+        _, val_transform = get_segmentation_transforms(config)
+        dataset = EDESRegressionDataset(
+            data_dir / args.split,
+            meta_df,
+            reg_col,
+            float(config.data[reg_col]["mean"]),
+            float(config.data[reg_col]["std"]),
+            config.model.views,
+            val_transform,
+        )
+        loader = BatchLoader(dataset, batch_size=1, n_workers=config.train.get("n_workers", 4))
+        metrics = regression_eval_dataloader(model, params, loader, config)
+        out_dir.mkdir(parents=True, exist_ok=True)
+        pd.DataFrame([metrics]).to_csv(out_dir / "mean_metrics.csv", index=False)
+    else:
+        raise ValueError(f"Unknown evaluation task: {config.task}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,163 @@
+"""UKB MAE pretraining entry point (reference: cinema/mae/pretrain.py).
+
+TPU-native: single-process SPMD over a ('data','model') mesh replaces
+mp.spawn + DDP/NCCL (reference pretrain.py:434-448); mask sampling, the
+masked forward, grads, and the AdamW update are one jitted donated step;
+gradient reduction is emitted by XLA over ICI. Per-host input pipelines
+stream one random cine frame per study via NIfTI frame-seek reads.
+"""
+
+from __future__ import annotations
+
+import time
+from pathlib import Path
+from typing import List, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cinema_tpu.config import Config
+from cinema_tpu.data.datasets import BatchLoader, UKBCineDataset
+from cinema_tpu.data.transforms import get_pretrain_transforms
+from cinema_tpu.factory import get_mae_model
+from cinema_tpu.log import get_logger
+from cinema_tpu.parallel.mesh import batch_shardings, make_mesh
+from cinema_tpu.tasks.cli import task_main
+from cinema_tpu.train.checkpoint import (
+    CheckpointRetention,
+    latest_checkpoint,
+    load_checkpoint,
+    save_checkpoint,
+    save_params_safetensors,
+)
+from cinema_tpu.train.loop import MetricsLogger
+from cinema_tpu.train.optim import build_optimizer, get_n_accum_steps
+from cinema_tpu.train.state import make_mae_train_step, make_train_state
+
+logger = get_logger(__name__)
+
+DEFAULT_CONFIG = Path(__file__).parents[1] / "configs" / "mae.yaml"
+
+
+def scan_manifest(data_dir: Path, views: List[str]) -> List[str]:
+    """Find study dirs containing all views' 4D NIfTIs
+    (reference pretrain.py:49-85 manifest scan)."""
+    pids = []
+    for pid_dir in sorted(data_dir.iterdir()):
+        if not pid_dir.is_dir():
+            continue
+        pid = pid_dir.name
+        if all(
+            (pid_dir / f"{pid}_{v}_t.nii.gz").exists() or (pid_dir / f"{pid}_{v}_t.nii").exists()
+            for v in views
+        ):
+            pids.append(pid)
+    return pids
+
+
+def run(config: Config) -> None:
+    views = list(config.model.views)
+    data_dir = Path(config.data.dir).expanduser()
+    pids = scan_manifest(data_dir, views)
+    if config.data.max_n_samples > 0:
+        pids = pids[: config.data.max_n_samples]
+    if not pids:
+        raise ValueError(f"No studies with views {views} found under {data_dir}.")
+    logger.info(f"Found {len(pids)} studies.")
+
+    n_model = int(config.get("mesh", {}).get("n_model", 1))
+    mesh = make_mesh(n_model=n_model)
+    world = mesh.shape["data"] * mesh.shape["model"]
+    n_accum = get_n_accum_steps(
+        config.train.batch_size, config.train.batch_size_per_device, mesh.shape["data"]
+    )
+    local_batch = config.train.batch_size_per_device * mesh.shape["data"]
+
+    transform = get_pretrain_transforms(config)
+    dataset = UKBCineDataset(data_dir, pids, views=views, transform=transform, seed=config.seed)
+    loader = BatchLoader(
+        dataset,
+        batch_size=local_batch,
+        shuffle=True,
+        drop_last=True,
+        n_workers=config.train.get("n_workers_per_device", 8),
+        seed=config.seed,
+    )
+    steps_per_epoch = max(len(loader) // n_accum, 1)
+
+    model = get_mae_model(config, dtype=jnp.bfloat16)
+    example = {
+        v: jnp.zeros((1, *model.image_size_dict[v], model.in_chans_dict[v]), jnp.float32)
+        for v in views
+    }
+
+    def init_fn():
+        return model.init(
+            {"params": jax.random.PRNGKey(config.seed), "mask": jax.random.PRNGKey(1)},
+            example,
+            config.train.enc_mask_ratio,
+        )
+
+    tx = build_optimizer(
+        jax.eval_shape(init_fn),
+        lr=config.train.lr,
+        min_lr=config.train.min_lr,
+        warmup_steps=config.train.n_warmup_epochs * steps_per_epoch,
+        max_n_steps=config.train.n_epochs * steps_per_epoch,
+        betas=tuple(config.train.betas),
+        weight_decay=config.train.weight_decay,
+        clip_grad=config.train.clip_grad,
+        accum_steps=n_accum,
+    )
+    state, shardings = make_train_state(init_fn, tx, mesh)
+    step_fn = make_mae_train_step(
+        model, tx, config.train.enc_mask_ratio, mesh=mesh, state_shardings=shardings
+    )
+
+    out_dir = Path(config.logging.dir) / time.strftime("%Y%m%d_%H%M%S")
+    out_dir.mkdir(parents=True, exist_ok=True)
+    metrics_logger = MetricsLogger(out_dir)
+    retention = CheckpointRetention(config.train.max_n_ckpts, pin_every=100)
+
+    start_epoch = 0
+    if config.train.get("ckpt_path"):
+        ckpt = Path(config.train.ckpt_path)
+        state = load_checkpoint(ckpt, jax.device_get(state))
+        start_epoch = int(state.step) // steps_per_epoch
+        logger.info(f"Resumed from {ckpt} at epoch {start_epoch}.")
+
+    rng = jax.random.PRNGKey(config.seed)
+    for epoch in range(start_epoch, config.train.n_epochs):
+        t0 = time.perf_counter()
+        losses = []
+        for batch in loader:
+            device_batch = jax.device_put(
+                {v: jnp.asarray(batch[v]) for v in views}, batch_shardings({v: None for v in views}, mesh)
+            )
+            state, metrics = step_fn(state, device_batch, rng)
+            losses.append(metrics["loss"])
+        epoch_loss = float(np.mean([float(x) for x in losses])) if losses else float("nan")
+        dt = time.perf_counter() - t0
+        clips_per_sec = len(loader) * local_batch / dt / world
+        metrics_logger.log(
+            {
+                "epoch": epoch,
+                "loss": epoch_loss,
+                "clips_per_sec_per_chip": clips_per_sec,
+                "n_samples": int(jax.device_get(state.n_samples)),
+            }
+        )
+        logger.info(f"epoch {epoch}: loss={epoch_loss:.4f} {clips_per_sec:.1f} clips/s/chip")
+
+        path = save_checkpoint(out_dir, state, epoch)
+        save_params_safetensors(state.params, out_dir / "cinema.safetensors")
+        retention.add(path, epoch)
+
+
+def main() -> None:
+    task_main(DEFAULT_CONFIG, run)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,85 @@
+"""Checkpointing with orbax + safetensors export (reference: cinema/optim.py:229-294).
+
+Training state (params + optimizer + counters) goes through orbax; model
+distribution artifacts are torch-layout safetensors via the bridge so they
+remain loadable by the reference PyTorch stack and by our own
+``factory.from_finetuned``.
+"""
+
+from __future__ import annotations
+
+import shutil
+from pathlib import Path
+from typing import Any, List, Optional, Union
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+from cinema_tpu.log import get_logger
+
+logger = get_logger(__name__)
+
+
+def save_checkpoint(ckpt_dir: Union[str, Path], state: Any, epoch: int) -> Path:
+    """Save a train state under ckpt_dir/ckpt_{epoch}."""
+    ckpt_dir = Path(ckpt_dir)
+    ckpt_dir.mkdir(parents=True, exist_ok=True)
+    path = (ckpt_dir / f"ckpt_{epoch}").absolute()
+    if path.exists():
+        shutil.rmtree(path)
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(path, jax.device_get(state))
+    return path
+
+
+def load_checkpoint(path: Union[str, Path], state_template: Any) -> Any:
+    """Restore a train state saved by :func:`save_checkpoint`."""
+    with ocp.StandardCheckpointer() as ckptr:
+        return ckptr.restore(Path(path).absolute(), state_template)
+
+
+class CheckpointRetention:
+    """Rolling retention with optional pinning (reference mae/pretrain.py:412-428
+    keeps max_n_ckpts, pinning every ``pin_every``-th epoch)."""
+
+    def __init__(self, max_n_ckpts: int, pin_every: int = 0) -> None:
+        self.max_n_ckpts = max_n_ckpts
+        self.pin_every = pin_every
+        self.saved: List[Path] = []
+
+    def add(self, path: Path, epoch: int) -> None:
+        if self.pin_every and (epoch + 1) % self.pin_every == 0:
+            return  # pinned, not subject to deletion
+        self.saved.append(Path(path))
+        if 0 < self.max_n_ckpts < len(self.saved):
+            to_delete = self.saved.pop(0)
+            if to_delete.exists():
+                shutil.rmtree(to_delete, ignore_errors=True)
+            logger.info(f"Deleted an outdated checkpoint {to_delete}.")
+
+    @property
+    def last(self) -> Optional[Path]:
+        return self.saved[-1] if self.saved else None
+
+
+def save_params_safetensors(params: Any, path: Union[str, Path]) -> None:
+    """Export params as torch-layout safetensors (reference distribution format)."""
+    from safetensors.numpy import save_file
+
+    from cinema_tpu.bridge.torch_loader import params_to_torch_state_dict
+
+    state_dict = params_to_torch_state_dict(jax.device_get(params))
+    save_file({k: np.ascontiguousarray(v) for k, v in state_dict.items()}, str(path))
+
+
+def latest_checkpoint(ckpt_dir: Union[str, Path]) -> Optional[Path]:
+    """Find the highest-epoch ckpt_{n} directory."""
+    ckpt_dir = Path(ckpt_dir)
+    if not ckpt_dir.exists():
+        return None
+    candidates = sorted(
+        (p for p in ckpt_dir.glob("ckpt_*") if p.name.split("_")[-1].isdigit()),
+        key=lambda p: int(p.name.split("_")[-1]),
+    )
+    return candidates[-1] if candidates else None

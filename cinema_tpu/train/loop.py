@@ -1,0 +1,239 @@
+"""Generic fine-tune training loop (reference: cinema/train.py:171-351).
+
+The reference's python epoch loop (autocast, GradScaler, per-step LR
+mutation, NaN skip) collapses into one jitted donated train step; this file
+keeps only host-side orchestration: data loading, eval intervals, early
+stopping, checkpoint retention, and metric logging (CSV/JSONL replaces
+wandb, which is unavailable here).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from pathlib import Path
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import numpy as np
+
+from cinema_tpu.config import Config, save_config
+from cinema_tpu.data.datasets import BatchLoader
+from cinema_tpu.log import get_logger
+from cinema_tpu.train.checkpoint import CheckpointRetention, save_checkpoint, save_params_safetensors
+from cinema_tpu.train.optim import EarlyStopping, build_optimizer, get_n_accum_steps
+from cinema_tpu.train.state import make_supervised_train_step, make_train_state
+
+logger = get_logger(__name__)
+
+
+class MetricsLogger:
+    """Append-only JSONL metrics log (wandb replacement)."""
+
+    def __init__(self, out_dir: Path) -> None:
+        self.path = Path(out_dir) / "metrics.jsonl"
+        self.path.parent.mkdir(parents=True, exist_ok=True)
+
+    def log(self, metrics: Dict[str, Any]) -> None:
+        record = {
+            k: (float(v) if isinstance(v, (int, float, np.floating, np.integer)) or hasattr(v, "item") else v)
+            for k, v in metrics.items()
+        }
+        with open(self.path, "a") as f:
+            f.write(json.dumps(record) + "\n")
+
+
+def maybe_reduce_batch_size(config: Config, n: int) -> Config:
+    """Halve the batch size until it fits the dataset (reference train.py:26-46)."""
+    batch_size = config.train.batch_size
+    if n >= batch_size:
+        return config
+    while n < batch_size:
+        batch_size //= 2
+    if batch_size == 0:
+        raise ValueError(f"Dataset size is too small {n}.")
+    logger.warning(f"Using batch size {batch_size} instead.")
+    config = Config(config)
+    config.train.batch_size = batch_size
+    config.train.batch_size_per_device = min(config.train.batch_size_per_device, batch_size)
+    return config
+
+
+def maybe_subset_dataset(config: Config, train_meta_df, val_meta_df, group_col: str = ""):
+    """max_n_samples cap + proportion subsampling (reference train.py:49-82)."""
+    if config.data.max_n_samples > 0:
+        train_ratio = min(config.data.max_n_samples / len(train_meta_df), 1.0)
+        val_ratio = min(config.data.max_n_samples / len(val_meta_df), 1.0)
+        if group_col:
+            train_meta_df = train_meta_df.groupby(group_col).sample(frac=train_ratio, random_state=0)
+            val_meta_df = val_meta_df.groupby(group_col).sample(frac=train_ratio, random_state=0)
+        else:
+            train_meta_df = train_meta_df.sample(frac=train_ratio, random_state=0, ignore_index=True)
+            val_meta_df = val_meta_df.sample(frac=val_ratio, random_state=0, ignore_index=True)
+    if config.data.proportion < 1:
+        train_meta_df = train_meta_df.sample(
+            n=int(config.data.proportion * len(train_meta_df)), random_state=config.seed, ignore_index=True
+        )
+    return train_meta_df, val_meta_df
+
+
+def run_train(
+    config: Config,
+    load_dataset: Callable[[Config], Tuple[Any, Any]],
+    get_model_fn: Callable[[Config], Any],
+    loss_fn: Callable[..., Tuple[Any, Dict[str, Any]]],
+    eval_dataloader_fn: Callable[..., Dict[str, float]],
+    init_images_fn: Optional[Callable[[Config], Dict[str, Any]]] = None,
+    load_pretrained_fn: Optional[Callable[[Any, Config], Tuple[Any, Any]]] = None,
+    out_dir: Optional[Path] = None,
+) -> Path:
+    """Fine-tune driver (reference run_train, train.py:171-351).
+
+    Args:
+        config: task config (reference YAML schema).
+        load_dataset: config -> (train_dataset, val_dataset).
+        get_model_fn: config -> flax model.
+        loss_fn: (model, params, batch, rng) -> (loss, metrics); jitted inside
+            the train step.
+        eval_dataloader_fn: (model, params, val_loader, config) -> metrics.
+        init_images_fn: config -> example image dict for init (inferred from
+            the first batch when None).
+        load_pretrained_fn: (params, config) -> (params, freeze_mask), applied
+            when config.model.ckpt_path is set.
+        out_dir: run directory; defaults to config.logging.dir / timestamp.
+
+    Returns:
+        the run directory.
+    """
+    rng = jax.random.PRNGKey(config.seed)
+    train_dataset, val_dataset = load_dataset(config)
+    config = maybe_reduce_batch_size(config, len(train_dataset))
+
+    train_loader = BatchLoader(
+        train_dataset,
+        batch_size=config.train.batch_size_per_device,
+        shuffle=True,
+        drop_last=True,
+        n_workers=config.train.get("n_workers", 4),
+        seed=config.seed,
+    )
+    val_loader = BatchLoader(
+        val_dataset, batch_size=1, shuffle=False, drop_last=False,
+        n_workers=config.train.get("n_workers", 4),
+    )
+
+    n_accum_steps = get_n_accum_steps(
+        batch_size=config.train.batch_size,
+        batch_size_per_device=config.train.batch_size_per_device,
+        world_size=1,
+    )
+    steps_per_epoch = max(len(train_loader) // n_accum_steps, 1)
+
+    model = get_model_fn(config)
+
+    # init params from the first batch's shapes (or an explicit example)
+    first_batch = next(iter(BatchLoader(train_dataset, batch_size=1, n_workers=1)))
+    views = [config.model.views] if isinstance(config.model.views, str) else list(config.model.views)
+    if init_images_fn is not None:
+        example_images = init_images_fn(config)
+    else:
+        import jax.numpy as jnp
+
+        example_images = {v: jnp.asarray(first_batch[f"{v}_image"]) for v in views}
+
+    def init_fn():
+        return model.init(jax.random.PRNGKey(config.seed), example_images)
+
+    params_template = jax.eval_shape(init_fn)
+    freeze_mask = None
+    pretrained = config.model.get("ckpt_path") is not None and load_pretrained_fn is not None
+
+    tx = build_optimizer(
+        params_template,
+        lr=config.train.lr,
+        min_lr=config.train.min_lr,
+        warmup_steps=config.train.n_warmup_epochs * steps_per_epoch,
+        max_n_steps=config.train.n_epochs * steps_per_epoch,
+        betas=tuple(config.train.betas),
+        weight_decay=config.train.weight_decay,
+        clip_grad=config.train.clip_grad if config.train.clip_grad > 0 else None,
+        layer_decay=config.train.get("layer_decay") if pretrained else None,
+        n_blocks=getattr(model, "enc_depth", 0),
+        freeze_mask=None,
+        accum_steps=n_accum_steps,
+    )
+    state, _ = make_train_state(init_fn, tx)
+    if pretrained:
+        new_params, freeze_mask = load_pretrained_fn(state.params, config)
+        state = state.replace(params=new_params)
+        if config.model.get("freeze_pretrained") and freeze_mask is not None:
+            # rebuild optimizer with the freeze mask applied
+            tx = build_optimizer(
+                params_template,
+                lr=config.train.lr,
+                min_lr=config.train.min_lr,
+                warmup_steps=config.train.n_warmup_epochs * steps_per_epoch,
+                max_n_steps=config.train.n_epochs * steps_per_epoch,
+                betas=tuple(config.train.betas),
+                weight_decay=config.train.weight_decay,
+                clip_grad=config.train.clip_grad if config.train.clip_grad > 0 else None,
+                layer_decay=config.train.get("layer_decay"),
+                n_blocks=getattr(model, "enc_depth", 0),
+                freeze_mask=freeze_mask,
+                accum_steps=n_accum_steps,
+            )
+            state = state.replace(opt_state=tx.init(state.params))
+
+    step_fn = make_supervised_train_step(model, tx, loss_fn, donate=True)
+
+    if out_dir is None:
+        out_dir = Path(config.logging.dir) / time.strftime("%Y%m%d_%H%M%S")
+    out_dir = Path(out_dir)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    save_config(config, out_dir / "config.yaml")
+    metrics_logger = MetricsLogger(out_dir)
+
+    early_stop = EarlyStopping(
+        min_delta=config.train.early_stopping.min_delta,
+        patience=config.train.early_stopping.patience,
+    )
+    retention = CheckpointRetention(config.train.max_n_ckpts)
+
+    import jax.numpy as jnp
+
+    for epoch in range(config.train.n_epochs):
+        epoch_metrics: Dict[str, list] = {}
+        for batch in train_loader:
+            device_batch = {
+                k: jnp.asarray(v) for k, v in batch.items() if isinstance(v, np.ndarray)
+            }
+            state, metrics = step_fn(state, device_batch, rng)
+            for k, v in metrics.items():
+                epoch_metrics.setdefault(k, []).append(v)
+        logged = {f"train_{k}": float(np.mean([float(x) for x in v])) for k, v in epoch_metrics.items()}
+        logged.update({"epoch": epoch, "n_samples": int(state.n_samples)})
+        metrics_logger.log(logged)
+
+        if (epoch + 1) % config.train.eval_interval != 0:
+            continue
+
+        val_metrics = eval_dataloader_fn(model, state.params, val_loader, config)
+        val_metrics = {f"val_{k}": v for k, v in val_metrics.items()}
+        val_metrics["epoch"] = epoch
+        metrics_logger.log(val_metrics)
+        logger.info(f"epoch {epoch}: " + ", ".join(f"{k}={v:.4f}" for k, v in val_metrics.items() if isinstance(v, float)))
+
+        early_metric = val_metrics[config.train.early_stopping.metric]
+        if config.train.early_stopping.mode == "max":
+            early_metric = -early_metric
+        early_stop.update(early_metric)
+
+        if early_stop.has_improved or epoch == 0:
+            path = save_checkpoint(out_dir, state, epoch)
+            save_params_safetensors(state.params, out_dir / f"model_{epoch}.safetensors")
+            retention.add(path, epoch)
+            logger.info(f"Saved checkpoint of epoch {epoch} at {path}.")
+        if early_stop.should_stop:
+            logger.info("Met early stopping criteria, breaking.")
+            break
+    return out_dir

@@ -106,6 +106,16 @@ def build_optimizer(
         freeze_mask: boolean tree, True = frozen (updates zeroed).
         accum_steps: gradient accumulation via optax.MultiSteps.
     """
+    # PyYAML parses '1e-3' (no decimal point) as a string; coerce defensively
+    lr, min_lr = float(lr), float(min_lr)
+    warmup_steps, max_n_steps = float(warmup_steps), float(max_n_steps)
+    weight_decay = float(weight_decay)
+    if clip_grad is not None:
+        clip_grad = float(clip_grad)
+    if layer_decay is not None:
+        layer_decay = float(layer_decay)
+    betas = (float(betas[0]), float(betas[1]))
+
     wd_mask = jax.tree_util.tree_map(lambda p: p.ndim > 1, params)
     chain = []
     if clip_grad is not None and clip_grad > 0:

@@ -1,0 +1,163 @@
+"""Smoke tests for classification/regression/landmark tasks and the eval CLI."""
+
+from pathlib import Path
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from cinema_tpu.config import apply_overrides, load_config
+from cinema_tpu.data.nifti import save_nifti
+
+CONFIG_DIR = Path(__file__).parent.parent / "cinema_tpu" / "configs"
+PATHOLOGIES = ["DCM", "HCM", "MINF", "NOR", "RV"]
+
+
+@pytest.fixture(scope="module")
+def acdc_dir(tmp_path_factory):
+    root = tmp_path_factory.mktemp("acdc_clf")
+    rng = np.random.default_rng(0)
+    rows = []
+    for i in range(15):
+        pid = f"patient{i:03d}"
+        pid_dir = root / "train" / pid
+        pid_dir.mkdir(parents=True)
+        for frame in ["ed", "es"]:
+            image = rng.uniform(0, 255, size=(16, 16, 4)).astype(np.float32)
+            label = rng.integers(0, 4, size=(16, 16, 4)).astype(np.uint8)
+            save_nifti(pid_dir / f"{pid}_sax_{frame}.nii.gz", image, spacing=(1, 1, 10))
+            save_nifti(pid_dir / f"{pid}_sax_{frame}_gt.nii.gz", label, spacing=(1, 1, 10))
+        rows.append(
+            {"pid": pid, "n_slices": 4, "pathology": PATHOLOGIES[i % 5], "ef": 40.0 + i}
+        )
+    pd.DataFrame(rows).to_csv(root / "train_metadata.csv", index=False)
+    return root
+
+
+def _clf_overrides(acdc_dir, out_dir):
+    return [
+        f"data.dir={acdc_dir}",
+        "data.sax.patch_size=[16,16,4]",
+        "transform.sax.translate_range=[2,2,0]",
+        "model.convvit.size=tiny",
+        "model.convvit.enc_conv_chans=[4,8]",
+        "model.convvit.enc_conv_n_blocks=1",
+        "model.convvit.drop_path=0.0",
+        "train.batch_size=4",
+        "train.batch_size_per_device=2",
+        "train.n_epochs=2",
+        "train.n_warmup_epochs=0",
+        "train.eval_interval=2",
+        "train.n_workers=2",
+        "grad_ckpt=false",
+        f"logging.dir={out_dir}",
+    ]
+
+
+def test_classification_task_end_to_end(acdc_dir, tmp_path):
+    from cinema_tpu.tasks.classification.acdc import load_dataset, run
+
+    cfg = apply_overrides(
+        load_config(CONFIG_DIR / "classification" / "acdc.yaml"), _clf_overrides(acdc_dir, tmp_path / "runs")
+    )
+    train_ds, val_ds = load_dataset(cfg)
+    sample = train_ds[0]
+    assert sample["sax_image"].shape == (16, 16, 4, 2)  # ED+ES channels
+    assert 0 <= int(sample["label"]) < 5
+    run(cfg)
+    run_dir = next((tmp_path / "runs").iterdir())
+    lines = (run_dir / "metrics.jsonl").read_text().splitlines()
+    assert any("val_accuracy" in line for line in lines)
+
+
+def test_regression_task_end_to_end(acdc_dir, tmp_path):
+    from cinema_tpu.tasks.regression.acdc import load_dataset, run
+
+    cfg = apply_overrides(
+        load_config(CONFIG_DIR / "regression" / "acdc.yaml"), _clf_overrides(acdc_dir, tmp_path / "runs")
+    )
+    train_ds, _ = load_dataset(cfg)
+    assert abs(float(train_ds[0]["label"])) < 10  # z-normalised
+    run(cfg)
+    run_dir = next((tmp_path / "runs").iterdir())
+    lines = (run_dir / "metrics.jsonl").read_text().splitlines()
+    assert any("val_mae" in line for line in lines)
+
+
+def test_landmark_datasets_and_losses(tmp_path):
+    from PIL import Image
+
+    from cinema_tpu.data.datasets import LandmarkDetectionDataset, LandmarkRegressionDataset
+
+    rng = np.random.default_rng(0)
+    rows = []
+    for i in range(3):
+        img = rng.integers(0, 255, size=(32, 32), dtype=np.uint8)
+        Image.fromarray(img).save(tmp_path / f"im{i}.png")
+        rows.append(
+            {
+                "path": f"im{i}.png",
+                "x1": 5,
+                "y1": 6,
+                "x2": 20,
+                "y2": 10,
+                "x3": 15,
+                "y3": 25,
+            }
+        )
+    meta = pd.DataFrame(rows)
+    det = LandmarkDetectionDataset(tmp_path, meta, view="lax_2c")
+    sample = det[0]
+    assert sample["lax_2c_image"].shape == (32, 32, 1)
+    assert sample["lax_2c_label"].shape == (32, 32, 3)
+    # heatmap peaks at the landmark coords
+    hm = sample["lax_2c_label"]
+    assert hm[5, 6, 0] == hm[..., 0].max()
+
+    reg = LandmarkRegressionDataset(tmp_path, meta, view="lax_2c")
+    sample = reg[0]
+    assert sample["label"].shape == (6,)
+    assert (sample["label"] <= 1).all()
+
+
+def test_eval_dispatcher_on_run_folder(acdc_dir, tmp_path):
+    """cinema_eval over a run folder produced by the seg task."""
+    from cinema_tpu.tasks import evaluate
+    from cinema_tpu.tasks.segmentation.acdc import run as seg_run
+
+    cfg = apply_overrides(
+        load_config(CONFIG_DIR / "segmentation" / "acdc.yaml"),
+        [
+            f"data.dir={acdc_dir}",
+            "data.sax.patch_size=[16,16,4]",
+            "transform.sax.translate_range=[2,2,0]",
+            "transform.sax.dropout_size=[4,4,1]",
+            "model.convunetr.size=tiny",
+            "model.convunetr.enc_conv_chans=[4,8]",
+            "model.convunetr.enc_conv_n_blocks=1",
+            "model.convunetr.dec_chans=[4,8,12,16,24]",
+            "model.convunetr.dropout=0.0",
+            "model.convunetr.drop_path=0.0",
+            "train.batch_size=4",
+            "train.batch_size_per_device=2",
+            "train.n_epochs=1",
+            "train.n_warmup_epochs=0",
+            "train.eval_interval=1",
+            "train.n_workers=2",
+            "grad_ckpt=false",
+            f"logging.dir={tmp_path / 'runs'}",
+        ],
+    )
+    seg_run(cfg)
+    run_dir = next((tmp_path / "runs").iterdir())
+
+    # build a "train split as test split" copy for the dispatcher
+    evaluate.main(["--folder_path", str(run_dir), "--split", "train", "--data", "acdc"])
+    out = run_dir / "acdc_eval"
+    assert (out / "metrics.csv").exists()
+    assert (out / "mean_metrics.csv").exists()
+    assert (out / "ef_metrics.csv").exists()
+    df = pd.read_csv(out / "metrics.csv")
+    assert "mean_dice_score" in df.columns
+    ef = pd.read_csv(out / "ef_metrics.csv")
+    assert {"true_ef", "pred_ef", "ef_error"} <= set(ef.columns)

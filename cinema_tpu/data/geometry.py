@@ -208,3 +208,54 @@ def world_to_voxel(
     """World coordinate -> continuous voxel index for an oriented image."""
     rel = np.linalg.solve(rot, np.asarray(point) - np.asarray(origin))
     return rel / np.asarray(spacing, dtype=np.float64)
+
+
+def get_center_crop_size_from_1d_bbox(
+    bbox_min: int,
+    bbox_max: int,
+    current_length: int,
+    target_length: int,
+) -> Tuple[int, int]:
+    """Crop amounts centering the bbox, clamped to bounds
+    (reference sitk.py:585-625)."""
+    if bbox_min < 0 or bbox_max > current_length:
+        raise ValueError("Label index out of range.")
+    if current_length <= target_length:
+        return 0, 0
+    label_center = (bbox_max - 1 + bbox_min) / 2.0
+    bbox_lower = int(np.ceil(label_center - target_length / 2.0))
+    bbox_upper = bbox_lower + target_length
+    bbox_lower = max(bbox_lower, 0)
+    if bbox_upper > current_length:
+        bbox_lower -= bbox_upper - current_length
+    crop_lower = bbox_lower
+    crop_upper = current_length - target_length - crop_lower
+    return crop_lower, crop_upper
+
+
+def get_center_crop_size_from_bbox(
+    bbox_min: Sequence[int],
+    bbox_max: Sequence[int],
+    current_size: Sequence[int],
+    target_size: Sequence[int],
+) -> Tuple[Tuple[int, ...], Tuple[int, ...]]:
+    """Per-axis crop sizes from a label bbox (reference sitk.py:628-660)."""
+    lower, upper = [], []
+    for i, current_length in enumerate(current_size):
+        lo, up = get_center_crop_size_from_1d_bbox(
+            int(bbox_min[i]), int(bbox_max[i]), int(current_length), int(target_size[i])
+        )
+        lower.append(lo)
+        upper.append(up)
+    return tuple(lower), tuple(upper)
+
+
+def crop_with_sizes(array: np.ndarray, crop_lower: Sequence[int], crop_upper: Sequence[int]) -> np.ndarray:
+    """Apply sitk.Crop-style lower/upper crops to the leading spatial axes.
+
+    Extra trailing axes (time/channels) are untouched.
+    """
+    slices = tuple(
+        slice(lo, array.shape[i] - up) for i, (lo, up) in enumerate(zip(crop_lower, crop_upper))
+    )
+    return array[slices]

@@ -97,10 +97,10 @@ def preprocess_pid(pid_dir: Path, out_dir: Path) -> Dict:
     voxel_ml = float(np.prod(ACDC_SPACING)) / 1000.0
     info["lv_edv"] = float((frames["ed"][1] == LV_LABEL).sum()) * voxel_ml
     info["lv_esv"] = float((frames["es"][1] == LV_LABEL).sum()) * voxel_ml
-    info["lv_ef"] = float(ejection_fraction(info["lv_edv"], info["lv_esv"]))
+    info["lv_ef"] = float(ejection_fraction(np.float64(info["lv_edv"]), np.float64(info["lv_esv"])))
     info["rv_edv"] = float((frames["ed"][1] == RV_LABEL).sum()) * voxel_ml
     info["rv_esv"] = float((frames["es"][1] == RV_LABEL).sum()) * voxel_ml
-    info["rv_ef"] = float(ejection_fraction(info["rv_edv"], info["rv_esv"]))
+    info["rv_ef"] = float(ejection_fraction(np.float64(info["rv_edv"]), np.float64(info["rv_esv"])))
     info["ef"] = info["lv_ef"]
     info["pathology"] = info.get("group", "")
     if "height" in info and "weight" in info and float(info["height"]) > 0:

@@ -67,10 +67,10 @@ def preprocess_pid(row: pd.Series, split_dir: Path, out_dir: Path) -> Dict:
     voxel_ml = float(np.prod(MNMS_SPACING)) / 1000.0
     data["lv_edv"] = float((frames["ed"][1] == LV_LABEL).sum()) * voxel_ml
     data["lv_esv"] = float((frames["es"][1] == LV_LABEL).sum()) * voxel_ml
-    data["lv_ef"] = float(ejection_fraction(data["lv_edv"], data["lv_esv"]))
+    data["lv_ef"] = float(ejection_fraction(np.float64(data["lv_edv"]), np.float64(data["lv_esv"])))
     data["rv_edv"] = float((frames["ed"][1] == RV_LABEL).sum()) * voxel_ml
     data["rv_esv"] = float((frames["es"][1] == RV_LABEL).sum()) * voxel_ml
-    data["rv_ef"] = float(ejection_fraction(data["rv_edv"], data["rv_esv"]))
+    data["rv_ef"] = float(ejection_fraction(np.float64(data["rv_edv"]), np.float64(data["rv_esv"])))
     data["ef"] = data["lv_ef"]
 
     out = out_dir / pid

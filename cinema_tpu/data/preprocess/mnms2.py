@@ -74,7 +74,7 @@ def preprocess_pid(row: pd.Series, data_dir: Path, out_dir: Path) -> Dict:
         image = clip_and_normalise_intensity(image)
         save_nifti(out / f"{pid}_sax_{name}.nii.gz", cast_to_uint8(image), spacing=MNMS2_SPACING)
         save_nifti(out / f"{pid}_sax_{name}_gt.nii.gz", label.astype(np.uint8), spacing=MNMS2_SPACING)
-    data["ef"] = float(ejection_fraction(data["lv_edv"], data["lv_esv"]))
+    data["ef"] = float(ejection_fraction(np.float64(data["lv_edv"]), np.float64(data["lv_esv"])))
 
     # ---- LAX 4C: single slice, label-bbox centered 256x256 crop
     for name, tag in [("ed", "ED"), ("es", "ES")]:

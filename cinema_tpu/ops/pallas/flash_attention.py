@@ -146,26 +146,111 @@ def flash_attention(
 
 
 def _fwd(q, k, v, block_q):
-    return _flash_forward(q, k, v, block_q), (q, k, v)
+    out = _flash_forward(q, k, v, block_q)
+    return out, (q, k, v, out)
 
 
-def _bwd(block_q, residuals, g):
-    """Exact backward via XLA einsums (recompute probabilities)."""
-    del block_q
-    q, k, v = residuals
-    scale = q.shape[-1] ** -0.5
-    q32, k32, v32, g32 = (x.astype(jnp.float32) for x in (q, k, v, g))
-    scores = jnp.einsum("bqhd,bkhd->bhqk", q32 * scale, k32)
+DEFAULT_BLOCK_Q_BWD = 128
+
+
+def _flash_bwd_kernel(
+    q_ref, k_ref, v_ref, g_ref, o_ref, dq_ref, dk_ref, dv_ref, *, scale: float, n_k: int
+):
+    """One (b, h, q-block) program of the flash backward.
+
+    Recomputes the q-block's probabilities (full K in VMEM), applies the
+    softmax Jacobian with the delta trick (delta = rowsum(g * out)), writes
+    dq for the block and accumulates dk/dv across q-blocks — the (b, h)
+    dk/dv output block is revisited over the innermost grid dim.
+    """
+    i = pl.program_id(2)
+    q = q_ref[0, 0].astype(jnp.float32)
+    k = k_ref[0, 0].astype(jnp.float32)
+    v = v_ref[0, 0].astype(jnp.float32)
+    g = g_ref[0, 0].astype(jnp.float32)
+    o = o_ref[0, 0].astype(jnp.float32)
+
+    scores = jax.lax.dot_general(
+        q * scale, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    tk_pad = scores.shape[-1]
+    if tk_pad != n_k:
+        col = jax.lax.broadcasted_iota(jnp.int32, scores.shape, dimension=1)
+        scores = jnp.where(col < n_k, scores, -jnp.inf)
     scores = scores - jnp.max(scores, axis=-1, keepdims=True)
     exp = jnp.exp(scores)
     probs = exp / jnp.sum(exp, axis=-1, keepdims=True)
-    dv = jnp.einsum("bhqk,bqhd->bkhd", probs, g32)
-    dprobs = jnp.einsum("bqhd,bkhd->bhqk", g32, v32)
-    # softmax jacobian: dscores = probs * (dprobs - sum(dprobs * probs))
-    dscores = probs * (dprobs - jnp.sum(dprobs * probs, axis=-1, keepdims=True))
-    dq = jnp.einsum("bhqk,bkhd->bqhd", dscores, k32) * scale
-    dk = jnp.einsum("bhqk,bqhd->bkhd", dscores, q32) * scale
-    return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype)
+
+    delta = jnp.sum(g * o, axis=-1, keepdims=True)  # (bq, 1)
+    dprobs = jax.lax.dot_general(
+        g, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )  # (bq, tk)
+    dscores = probs * (dprobs - delta)
+
+    dq_ref[0, 0] = (
+        jax.lax.dot_general(dscores, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+        * scale
+    ).astype(dq_ref.dtype)
+
+    @pl.when(i == 0)
+    def _init():
+        dk_ref[0, 0] = jnp.zeros_like(dk_ref[0, 0])
+        dv_ref[0, 0] = jnp.zeros_like(dv_ref[0, 0])
+
+    dk_ref[0, 0] += (
+        jax.lax.dot_general(dscores, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+        * scale
+    ).astype(dk_ref.dtype)
+    dv_ref[0, 0] += jax.lax.dot_general(
+        probs, g, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    ).astype(dv_ref.dtype)
+
+
+def _bwd(block_q, residuals, g):
+    """Pallas flash backward: no (Tq, Tk) probability tensors ever touch HBM."""
+    del block_q
+    q, k, v, out = residuals
+    batch, n_q, n_heads, head_dim = q.shape
+    n_k = k.shape[1]
+    scale = head_dim**-0.5
+
+    block_q = min(DEFAULT_BLOCK_Q_BWD, _round_up(n_q, 128))
+    n_q_pad = _round_up(n_q, block_q)
+    n_k_pad = _round_up(n_k, 128)
+
+    def to_bhtd(x, pad_to):
+        x = jnp.transpose(x, (0, 2, 1, 3))
+        if pad_to != x.shape[2]:
+            x = jnp.pad(x, ((0, 0), (0, 0), (0, pad_to - x.shape[2]), (0, 0)))
+        return x
+
+    qt, gt, ot = (to_bhtd(x, n_q_pad) for x in (q, g, out))
+    kt, vt = (to_bhtd(x, n_k_pad) for x in (k, v))
+
+    grid = (batch, n_heads, n_q_pad // block_q)
+    q_spec = pl.BlockSpec((1, 1, block_q, head_dim), lambda b, h, i: (b, h, i, 0), memory_space=pltpu.VMEM)
+    k_spec = pl.BlockSpec((1, 1, n_k_pad, head_dim), lambda b, h, i: (b, h, 0, 0), memory_space=pltpu.VMEM)
+    dq, dk, dv = pl.pallas_call(
+        functools.partial(_flash_bwd_kernel, scale=scale, n_k=n_k),
+        out_shape=(
+            jax.ShapeDtypeStruct((batch, n_heads, n_q_pad, head_dim), q.dtype),
+            jax.ShapeDtypeStruct((batch, n_heads, n_k_pad, head_dim), jnp.float32),
+            jax.ShapeDtypeStruct((batch, n_heads, n_k_pad, head_dim), jnp.float32),
+        ),
+        grid=grid,
+        in_specs=[q_spec, k_spec, k_spec, q_spec, q_spec],
+        out_specs=(q_spec, k_spec, k_spec),
+        cost_estimate=pl.CostEstimate(
+            flops=10 * batch * n_heads * n_q_pad * n_k_pad * head_dim,
+            bytes_accessed=2 * (q.size + k.size + v.size) * 4,
+            transcendentals=batch * n_heads * n_q_pad * n_k_pad,
+        ),
+    )(qt, kt, vt, gt, ot)
+
+    def from_bhtd(x, n, dtype):
+        return jnp.transpose(x[:, :, :n], (0, 2, 1, 3)).astype(dtype)
+
+    return from_bhtd(dq, n_q, q.dtype), from_bhtd(dk, n_k, k.dtype), from_bhtd(dv, n_k, v.dtype)
 
 
 flash_attention.defvjp(_fwd, _bwd)

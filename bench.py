@@ -30,9 +30,16 @@ N_STEPS = 10
 
 
 def main() -> None:
+    import os
+    import sys
+
     from __graft_entry__ import VIEW_SIZES_FULL, _build_mae
     from cinema_tpu.train.optim import build_optimizer
     from cinema_tpu.train.state import make_mae_train_step, make_train_state
+
+    profile_dir = None
+    if "--profile" in sys.argv:
+        profile_dir = os.environ.get("CINEMA_PROFILE_DIR", "/tmp/cinema_profile")
 
     model = _build_mae(VIEW_SIZES_FULL, "base", jnp.bfloat16)
     rng = np.random.default_rng(0)
@@ -66,11 +73,15 @@ def main() -> None:
     float(metrics["loss"])  # device_get sync: block_until_ready is unreliable
     # over the experimental axon relay (returned before execution finished)
 
+    if profile_dir:
+        jax.profiler.start_trace(profile_dir)
     t0 = time.perf_counter()
     for _ in range(N_STEPS):
         state, metrics = step(state, batch, key)
     float(metrics["loss"])
     t1 = time.perf_counter()
+    if profile_dir:
+        jax.profiler.stop_trace()
 
     clips_per_sec = BATCH * N_STEPS / (t1 - t0)
     print(

@@ -1,0 +1,210 @@
+"""Minimal self-contained DICOM reader (reference dependency: pydicom/SimpleITK).
+
+Parses the subset of DICOM needed by the cine-CMR pipelines (reference
+cinema/data/dicom.py, examples/dicom_to_nifti.py): single-frame uncompressed
+MR images in Explicit or Implicit VR Little Endian, with the geometry and
+identification tags used for series assembly — pixel data, spacing,
+ImagePositionPatient / ImageOrientationPatient, series/instance metadata.
+
+Not supported (raises): big-endian, compressed transfer syntaxes, sequences
+with undefined length nested beyond skipping.
+"""
+
+from __future__ import annotations
+
+import struct
+from dataclasses import dataclass, field
+from pathlib import Path
+from typing import Dict, List, Optional, Sequence, Tuple, Union
+
+import numpy as np
+
+# tag constants (group, element)
+TAG_TRANSFER_SYNTAX = (0x0002, 0x0010)
+TAG_SERIES_UID = (0x0020, 0x000E)
+TAG_SERIES_DESC = (0x0008, 0x103E)
+TAG_INSTANCE_NUMBER = (0x0020, 0x0013)
+TAG_SLICE_LOCATION = (0x0020, 0x1041)
+TAG_POSITION = (0x0020, 0x0032)
+TAG_ORIENTATION = (0x0020, 0x0037)
+TAG_PIXEL_SPACING = (0x0028, 0x0030)
+TAG_SLICE_THICKNESS = (0x0018, 0x0050)
+TAG_ROWS = (0x0028, 0x0010)
+TAG_COLS = (0x0028, 0x0011)
+TAG_BITS_ALLOCATED = (0x0028, 0x0100)
+TAG_PIXEL_REPRESENTATION = (0x0028, 0x0103)
+TAG_RESCALE_INTERCEPT = (0x0028, 0x1052)
+TAG_RESCALE_SLOPE = (0x0028, 0x1053)
+TAG_PIXEL_DATA = (0x7FE0, 0x0010)
+TAG_TRIGGER_TIME = (0x0018, 0x1060)
+
+EXPLICIT_VR_LE = "1.2.840.10008.1.2.1"
+IMPLICIT_VR_LE = "1.2.840.10008.1.2"
+
+# VRs with a 2-byte reserved field + 4-byte length in explicit VR
+_LONG_VRS = {b"OB", b"OW", b"OF", b"SQ", b"UT", b"UN", b"UC", b"UR", b"OD", b"OL"}
+
+
+@dataclass
+class DicomImage:
+    """Parsed single-frame DICOM."""
+
+    pixel_array: np.ndarray  # (rows, cols)
+    spacing: Tuple[float, float]  # row, col spacing in mm
+    slice_thickness: float
+    position: Tuple[float, float, float]
+    orientation: Tuple[float, ...]  # 6 direction cosines
+    series_uid: str
+    series_description: str
+    instance_number: int
+    slice_location: Optional[float]
+    trigger_time: Optional[float]
+    elements: Dict[Tuple[int, int], bytes] = field(default_factory=dict)
+
+    @property
+    def rotation(self) -> np.ndarray:
+        """(3,3) direction matrix: columns = row dir, col dir, normal
+        (reference dicom.py orientation->rotation)."""
+        row = np.asarray(self.orientation[:3], dtype=np.float64)
+        col = np.asarray(self.orientation[3:6], dtype=np.float64)
+        normal = np.cross(row, col)
+        return np.stack([row, col, normal], axis=1)
+
+
+def _read_elements(buf: bytes, offset: int, explicit: bool, stop_group: Optional[int] = None):
+    """Yield (tag, vr, value_bytes) triples from a DICOM byte stream."""
+    n = len(buf)
+    while offset + 8 <= n:
+        group, element = struct.unpack_from("<HH", buf, offset)
+        if stop_group is not None and group != stop_group:
+            return
+        offset += 4
+        if explicit and group != 0xFFFE:
+            vr = buf[offset : offset + 2]
+            if vr in _LONG_VRS:
+                length = struct.unpack_from("<I", buf, offset + 4)[0]
+                offset += 8
+            else:
+                length = struct.unpack_from("<H", buf, offset + 2)[0]
+                offset += 4
+        else:
+            vr = b"UN"
+            length = struct.unpack_from("<I", buf, offset)[0]
+            offset += 4
+        if length == 0xFFFFFFFF:
+            raise ValueError(
+                f"Undefined-length element {group:04x},{element:04x} "
+                "(compressed/sequence data) is not supported."
+            )
+        value = buf[offset : offset + length]
+        offset += length
+        yield (group, element), vr, value, offset
+
+
+def _decode_str(value: bytes) -> str:
+    return value.decode("ascii", errors="replace").strip("\x00 ").strip()
+
+
+def _decode_floats(value: bytes) -> List[float]:
+    text = _decode_str(value)
+    return [float(x) for x in text.split("\\") if x]
+
+
+def read_dicom(path: Union[str, Path]) -> DicomImage:
+    """Read a single-frame uncompressed little-endian DICOM file."""
+    buf = Path(path).read_bytes()
+    if buf[128:132] != b"DICM":
+        raise ValueError(f"{path} is not a DICOM part-10 file (missing DICM magic).")
+
+    # file meta group (0002) is always explicit VR LE
+    elements: Dict[Tuple[int, int], bytes] = {}
+    offset = 132
+    transfer_syntax = EXPLICIT_VR_LE
+    for tag, _vr, value, offset in _read_elements(buf, offset, explicit=True, stop_group=0x0002):
+        elements[tag] = value
+        if tag == TAG_TRANSFER_SYNTAX:
+            transfer_syntax = _decode_str(value)
+    if transfer_syntax not in (EXPLICIT_VR_LE, IMPLICIT_VR_LE):
+        raise ValueError(f"Unsupported transfer syntax {transfer_syntax} (compressed?).")
+    explicit = transfer_syntax == EXPLICIT_VR_LE
+
+    pixel_data = None
+    for tag, _vr, value, offset in _read_elements(buf, offset, explicit=explicit):
+        elements[tag] = value
+        if tag == TAG_PIXEL_DATA:
+            pixel_data = value
+            break
+    if pixel_data is None:
+        raise ValueError(f"{path} has no PixelData element.")
+
+    rows = struct.unpack("<H", elements[TAG_ROWS])[0]
+    cols = struct.unpack("<H", elements[TAG_COLS])[0]
+    bits = struct.unpack("<H", elements.get(TAG_BITS_ALLOCATED, b"\x10\x00"))[0]
+    signed = struct.unpack("<H", elements.get(TAG_PIXEL_REPRESENTATION, b"\x00\x00"))[0]
+    if bits == 16:
+        dtype = np.int16 if signed else np.uint16
+    elif bits == 8:
+        dtype = np.int8 if signed else np.uint8
+    else:
+        raise ValueError(f"Unsupported BitsAllocated {bits}.")
+    pixels = np.frombuffer(pixel_data, dtype=dtype, count=rows * cols).reshape(rows, cols)
+
+    slope = _decode_floats(elements.get(TAG_RESCALE_SLOPE, b"1"))[0]
+    intercept = _decode_floats(elements.get(TAG_RESCALE_INTERCEPT, b"0"))[0]
+    if slope != 1.0 or intercept != 0.0:
+        pixels = pixels.astype(np.float32) * slope + intercept
+
+    spacing = _decode_floats(elements.get(TAG_PIXEL_SPACING, b"1\\1"))
+    position = _decode_floats(elements.get(TAG_POSITION, b"0\\0\\0"))
+    orientation = _decode_floats(elements.get(TAG_ORIENTATION, b"1\\0\\0\\0\\1\\0"))
+    slice_location = (
+        _decode_floats(elements[TAG_SLICE_LOCATION])[0] if TAG_SLICE_LOCATION in elements else None
+    )
+    trigger_time = (
+        _decode_floats(elements[TAG_TRIGGER_TIME])[0] if TAG_TRIGGER_TIME in elements else None
+    )
+    return DicomImage(
+        pixel_array=pixels,
+        spacing=(spacing[0], spacing[1]),
+        slice_thickness=_decode_floats(elements.get(TAG_SLICE_THICKNESS, b"1"))[0],
+        position=tuple(position),
+        orientation=tuple(orientation),
+        series_uid=_decode_str(elements.get(TAG_SERIES_UID, b"")),
+        series_description=_decode_str(elements.get(TAG_SERIES_DESC, b"")),
+        instance_number=int(_decode_str(elements.get(TAG_INSTANCE_NUMBER, b"0")) or 0),
+        slice_location=slice_location,
+        trigger_time=trigger_time,
+        elements=elements,
+    )
+
+
+def load_series(paths: Sequence[Union[str, Path]]) -> Tuple[np.ndarray, DicomImage]:
+    """Assemble a sorted slice stack from one series' files.
+
+    Sorts by slice location (falling back to instance number), stacks into
+    (x, y, z) with ``arr[x, y, z]`` indexing like the NIfTI loader.
+
+    Returns:
+        (volume, first-slice DicomImage for geometry).
+    """
+    images = [read_dicom(p) for p in paths]
+    series = {im.series_uid for im in images}
+    if len(series) > 1:
+        raise ValueError(f"Files span multiple series: {series}.")
+
+    def sort_key(im: DicomImage):
+        if im.slice_location is not None:
+            return im.slice_location
+        return float(im.instance_number)
+
+    images.sort(key=sort_key)
+    spacings = {im.spacing for im in images}
+    if len(spacings) > 1:
+        raise ValueError(f"Inconsistent pixel spacing within series: {spacings}.")
+    volume = np.stack([im.pixel_array.T for im in images], axis=-1)  # (x, y, z)
+    return volume, images[0]
+
+
+def sort_cine_frames(images: List[DicomImage]) -> List[DicomImage]:
+    """Order one slice's cine frames by trigger time (reference dicom.py 4D assembly)."""
+    return sorted(images, key=lambda im: (im.trigger_time or 0.0, im.instance_number))

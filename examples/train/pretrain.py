@@ -21,7 +21,7 @@ import numpy as np
 import pandas as pd
 
 from cinema_tpu.config import apply_overrides, load_config
-from cinema_tpu.tasks.pretrain import load_dataset, run
+from cinema_tpu.tasks.pretrain import run, scan_manifest  # noqa: F401  (scan_manifest re-exported for tutorial use)
 
 CONFIG = Path(__file__).parents[2] / "cinema_tpu" / "configs" / "mae.yaml"
 

@@ -25,9 +25,9 @@ class BatchNorm(nn.Module):
     epsilon: float = 1e-5
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
         return nn.BatchNorm(
-            use_running_average=not train,
+            use_running_average=deterministic,
             momentum=self.momentum,
             epsilon=self.epsilon,
             dtype=jnp.float32,
@@ -43,19 +43,19 @@ class BasicBlock(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
         nd = x.ndim - 2
         identity = x
         out = Conv(self.planes, (3,) * nd, strides=self.strides, padding="SAME", use_bias=False,
                    dtype=self.dtype, name="conv1")(x)
-        out = BatchNorm(name="bn1")(out, train)
+        out = BatchNorm(name="bn1")(out, deterministic)
         out = nn.relu(out)
         out = Conv(self.planes, (3,) * nd, padding="SAME", use_bias=False, dtype=self.dtype, name="conv2")(out)
-        out = BatchNorm(name="bn2")(out, train)
+        out = BatchNorm(name="bn2")(out, deterministic)
         if x.shape[-1] != self.planes or any(s != 1 for s in self.strides):
             identity = Conv(self.planes, (1,) * nd, strides=self.strides, padding="VALID",
                             use_bias=False, dtype=self.dtype, name="downsample_conv")(x)
-            identity = BatchNorm(name="downsample_bn")(identity, train)
+            identity = BatchNorm(name="downsample_bn")(identity, deterministic)
         return nn.relu(out + identity)
 
 
@@ -68,23 +68,23 @@ class Bottleneck(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
         nd = x.ndim - 2
         identity = x
         out_planes = self.planes * self.expansion
         out = Conv(self.planes, (1,) * nd, padding="VALID", use_bias=False, dtype=self.dtype, name="conv1")(x)
-        out = BatchNorm(name="bn1")(out, train)
+        out = BatchNorm(name="bn1")(out, deterministic)
         out = nn.relu(out)
         out = Conv(self.planes, (3,) * nd, strides=self.strides, padding="SAME", use_bias=False,
                    dtype=self.dtype, name="conv2")(out)
-        out = BatchNorm(name="bn2")(out, train)
+        out = BatchNorm(name="bn2")(out, deterministic)
         out = nn.relu(out)
         out = Conv(out_planes, (1,) * nd, padding="VALID", use_bias=False, dtype=self.dtype, name="conv3")(out)
-        out = BatchNorm(name="bn3")(out, train)
+        out = BatchNorm(name="bn3")(out, deterministic)
         if x.shape[-1] != out_planes or any(s != 1 for s in self.strides):
             identity = Conv(out_planes, (1,) * nd, strides=self.strides, padding="VALID",
                             use_bias=False, dtype=self.dtype, name="downsample_conv")(x)
-            identity = BatchNorm(name="downsample_bn")(identity, train)
+            identity = BatchNorm(name="downsample_bn")(identity, deterministic)
         return nn.relu(out + identity)
 
 
@@ -105,7 +105,7 @@ class ResNet(nn.Module):
     def __call__(
         self,
         image_dict: Dict[str, jnp.ndarray],
-        train: bool = False,
+        deterministic: bool = True,
     ) -> jnp.ndarray:
         if len(image_dict) != 1:
             raise ValueError(f"Only one view is supported, got {len(image_dict)} views.")
@@ -114,7 +114,7 @@ class ResNet(nn.Module):
 
         x = Conv(self.layer_inplanes[0], (7,) * nd, strides=(2,) * nd, padding="SAME",
                  use_bias=False, dtype=self.dtype, name="conv1")(x)
-        x = BatchNorm(name="bn1")(x, train)
+        x = BatchNorm(name="bn1")(x, deterministic)
         x = nn.relu(x)
         x = nn.max_pool(x, (3,) * nd, strides=(2,) * nd, padding="SAME")
 
@@ -123,7 +123,7 @@ class ResNet(nn.Module):
             for b in range(n_blocks):
                 strides = (2,) * nd if (stage > 0 and b == 0) else (1,) * nd
                 x = block_cls(planes=planes, strides=strides, dtype=self.dtype,
-                              name=f"layer{stage + 1}_{b}")(x, train)
+                              name=f"layer{stage + 1}_{b}")(x, deterministic)
 
         x = jnp.mean(x, axis=tuple(range(1, x.ndim - 1)))  # global average pool
         return Dense(self.out_chans, dtype=self.dtype, name="fc")(x)

@@ -12,6 +12,7 @@ from cinema_tpu.config import Config
 from cinema_tpu.losses import classification_loss as _clf_loss
 from cinema_tpu.metrics import classification_metrics
 from cinema_tpu.ops.window import get_patch_grid, patch_grid_sample
+from cinema_tpu.train.state import train_apply
 
 
 def get_classification_model(config: Config, dtype=jnp.float32):
@@ -49,9 +50,9 @@ def classification_loss_fn(
     """Smoothed CE on model logits (reference classification/train.py:84-113)."""
     views = sorted({k[: -len("_image")] for k in batch if k.endswith("_image")})
     image_dict = {v: batch[f"{v}_image"] for v in views}
-    logits = model.apply(params, image_dict, deterministic=False, rngs={"dropout": rng})
+    logits, model_state = train_apply(model, params, image_dict, rng)
     loss, metrics = _clf_loss(logits, batch["label"])
-    return loss, metrics
+    return loss, (metrics, model_state)
 
 
 def classification_forward(

@@ -13,6 +13,7 @@ from cinema_tpu.losses import regression_loss as _reg_loss
 from cinema_tpu.metrics import regression_metrics
 from cinema_tpu.ops.window import get_patch_grid, patch_grid_sample
 from cinema_tpu.tasks.classification import get_classification_model
+from cinema_tpu.train.state import train_apply
 
 get_regression_model = get_classification_model  # same convvit/resnet dispatch
 
@@ -26,8 +27,9 @@ def regression_loss_fn(
     """MSE on z-normalised targets (reference regression/train.py:21-55)."""
     views = sorted({k[: -len("_image")] for k in batch if k.endswith("_image")})
     image_dict = {v: batch[f"{v}_image"] for v in views}
-    preds = model.apply(params, image_dict, deterministic=False, rngs={"dropout": rng})
-    return _reg_loss(preds[:, 0], batch["label"])
+    preds, model_state = train_apply(model, params, image_dict, rng)
+    loss, metrics = _reg_loss(preds[:, 0], batch["label"])
+    return loss, (metrics, model_state)
 
 
 def regression_forward(

@@ -17,6 +17,7 @@ from cinema_tpu.tasks.classification import get_classification_model
 from cinema_tpu.tasks.cli import task_main
 from cinema_tpu.tasks.segmentation.acdc import load_pretrained
 from cinema_tpu.train.loop import maybe_subset_dataset, run_train
+from cinema_tpu.train.state import train_apply
 
 DEFAULT_CONFIG = Path(__file__).parents[2] / "configs" / "regression" / "landmark.yaml"
 
@@ -32,9 +33,10 @@ def landmark_regression_loss_fn(model, params, batch, rng):
     (reference regression/landmark/train.py:108-152)."""
     views = sorted({k[: -len("_image")] for k in batch if k.endswith("_image")})
     view = views[0]
-    preds = model.apply(params, {view: batch[f"{view}_image"]}, deterministic=False, rngs={"dropout": rng})
+    preds, model_state = train_apply(model, params, {view: batch[f"{view}_image"]}, rng)
     scales = _scales(batch, view)
-    return landmark_coordinate_loss(preds * scales, batch["label"] * scales)
+    loss, metrics = landmark_coordinate_loss(preds * scales, batch["label"] * scales)
+    return loss, (metrics, model_state)
 
 
 def landmark_regression_eval_dataloader(

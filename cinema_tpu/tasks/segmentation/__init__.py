@@ -16,6 +16,7 @@ from cinema_tpu.log import get_logger
 from cinema_tpu.losses import segmentation_loss as _view_seg_loss
 from cinema_tpu.metrics import segmentation_metrics
 from cinema_tpu.ops.window import crop_start
+from cinema_tpu.train.state import train_apply
 
 logger = get_logger(__name__)
 
@@ -39,7 +40,7 @@ def segmentation_loss_fn(
     views = sorted({k[: -len("_image")] for k in batch if k.endswith("_image")})
     image_dict = {v: batch[f"{v}_image"] for v in views}
     label_dict = {v: batch[f"{v}_label"] for v in views}
-    logits_dict = model.apply(params, image_dict, False, rngs={"dropout": rng})
+    logits_dict, model_state = train_apply(model, params, image_dict, rng)
 
     metrics: Dict[str, jnp.ndarray] = {}
     losses = []
@@ -50,7 +51,7 @@ def segmentation_loss_fn(
         metrics[f"{view}_loss"] = loss_view
     loss = sum(losses) / len(logits_dict)
     metrics["loss"] = loss
-    return loss, metrics
+    return loss, (metrics, model_state)
 
 
 def make_seg_forward(model: Any) -> Callable:

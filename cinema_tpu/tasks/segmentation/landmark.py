@@ -20,6 +20,7 @@ from cinema_tpu.ops.window import crop_start
 from cinema_tpu.tasks.cli import task_main
 from cinema_tpu.tasks.segmentation.acdc import load_pretrained
 from cinema_tpu.train.loop import maybe_subset_dataset, run_train
+from cinema_tpu.train.state import train_apply
 
 DEFAULT_CONFIG = Path(__file__).parents[2] / "configs" / "segmentation" / "landmark.yaml"
 
@@ -29,7 +30,7 @@ def landmark_loss_fn(model, params, batch, rng):
     (reference segmentation/landmark/train.py:109-132)."""
     views = sorted({k[: -len("_image")] for k in batch if k.endswith("_image")})
     image_dict = {v: batch[f"{v}_image"] for v in views}
-    logits_dict = model.apply(params, image_dict, False, rngs={"dropout": rng})
+    logits_dict, model_state = train_apply(model, params, image_dict, rng)
     losses, metrics = [], {}
     for view, logits in logits_dict.items():
         loss_view, m = landmark_heatmap_loss(logits, batch[f"{view}_label"])
@@ -37,7 +38,7 @@ def landmark_loss_fn(model, params, batch, rng):
         metrics.update({f"{view}_{k}": v for k, v in m.items()})
     loss = sum(losses) / len(losses)
     metrics["loss"] = loss
-    return loss, metrics
+    return loss, (metrics, model_state)
 
 
 def landmark_eval_dataloader(

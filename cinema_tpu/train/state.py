@@ -20,6 +20,34 @@ from jax.sharding import Mesh
 from cinema_tpu.parallel.mesh import param_shardings
 
 
+def train_apply(
+    model: Any,
+    variables: Any,
+    image_dict: Dict[str, jnp.ndarray],
+    rng: jax.Array,
+    **kwargs: Any,
+) -> Tuple[Any, Dict[str, Any]]:
+    """Forward in train mode, threading mutable collections.
+
+    ``variables`` is the full flax variable dict ({'params': ...} plus e.g.
+    'batch_stats' for BatchNorm models like the ResNet baselines, reference
+    cinema/resnet.py:175-315). Returns (output, updated_collections) where
+    the second element is {} for purely-functional models, so loss fns can
+    report it unconditionally.
+    """
+    mutable = [k for k in variables if k != "params"]
+    if mutable:
+        out, new_state = model.apply(
+            variables, image_dict, deterministic=False,
+            rngs={"dropout": rng}, mutable=mutable, **kwargs,
+        )
+        return out, dict(new_state)
+    out = model.apply(
+        variables, image_dict, deterministic=False, rngs={"dropout": rng}, **kwargs
+    )
+    return out, {}
+
+
 class TrainState(struct.PyTreeNode):
     """Model params + optimizer state + step counter."""
 
@@ -136,7 +164,16 @@ def make_supervised_train_step(
     state_shardings: Optional[Any] = None,
     donate: bool = True,
 ) -> Callable:
-    """Generic supervised train step: loss_fn(model, params, batch, rng) -> (loss, metrics)."""
+    """Generic supervised train step.
+
+    ``loss_fn(model, variables, batch, rng) -> (loss, (metrics, model_state))``
+    where ``model_state`` holds updated non-param collections (BatchNorm
+    running stats) or {}. Those collections ride inside ``state.params`` (the
+    full variable dict); their loss gradient is identically zero (train-mode
+    BatchNorm uses batch statistics) and the forward-pass updates overwrite
+    them after the optimizer step, so optimizer state over those leaves is
+    inert.
+    """
 
     def step_fn(state: TrainState, batch: Dict[str, jnp.ndarray], rng: jax.Array):
         rng = jax.random.fold_in(rng, state.step)
@@ -144,9 +181,13 @@ def make_supervised_train_step(
         def wrapped(params):
             return loss_fn(model, params, batch, rng)
 
-        (loss, metrics), grads = jax.value_and_grad(wrapped, has_aux=True)(state.params)
+        (loss, (metrics, model_state)), grads = jax.value_and_grad(wrapped, has_aux=True)(
+            state.params
+        )
         updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
+        if model_state:
+            new_params = {**new_params, **model_state}
         ok = jnp.isfinite(loss)
         new_params = jax.tree_util.tree_map(
             lambda new, old: jnp.where(ok, new, old), new_params, state.params

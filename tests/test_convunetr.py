@@ -130,11 +130,49 @@ def test_resnet_forward(nd):
 def test_resnet_bottleneck_and_train_mode():
     model = ResNet(out_chans=2, layers=(1, 1, 1, 1), layer_inplanes=(4, 8, 8, 8), bottleneck=True)
     images = {"sax": jnp.ones((2, 32, 32, 1))}
-    variables = model.init(jax.random.PRNGKey(0), images, True)
+    variables = model.init(jax.random.PRNGKey(0), images)
     assert "batch_stats" in variables
-    logits, updates = model.apply(variables, images, True, mutable=["batch_stats"])
+    logits, updates = model.apply(variables, images, deterministic=False, mutable=["batch_stats"])
     assert logits.shape == (2, 2)
     assert "batch_stats" in updates
+
+
+def test_resnet_train_step_updates_batch_stats():
+    """Two supervised train steps must update params AND BatchNorm running
+    stats (round-1 regression: batch_stats were never threaded through the
+    train step; reference trains ResNet baselines first-class,
+    classification/train.py:25-81)."""
+    import numpy as np
+
+    from cinema_tpu.tasks.classification import classification_loss_fn
+    from cinema_tpu.train.optim import build_optimizer
+    from cinema_tpu.train.state import make_supervised_train_step, make_train_state
+
+    model = ResNet(out_chans=2, layers=(1, 1, 1, 1), layer_inplanes=(4, 4, 4, 4))
+    rng = np.random.default_rng(0)
+    batch = {
+        "sax_image": jnp.asarray(rng.normal(size=(2, 32, 32, 2)).astype(np.float32)),
+        "label": jnp.asarray([0, 1]),
+    }
+
+    def init_fn():
+        return model.init(jax.random.PRNGKey(0), {"sax": batch["sax_image"]})
+
+    tx = build_optimizer(
+        jax.eval_shape(init_fn), lr=1e-2, min_lr=1e-6, warmup_steps=0, max_n_steps=10
+    )
+    state, _ = make_train_state(init_fn, tx)
+    assert "batch_stats" in state.params
+    stats0 = jax.tree_util.tree_map(lambda x: x.copy(), state.params["batch_stats"])
+    step = make_supervised_train_step(model, tx, classification_loss_fn, donate=False)
+    state, metrics = step(state, batch, jax.random.PRNGKey(1))
+    state, metrics = step(state, batch, jax.random.PRNGKey(1))
+    assert jnp.isfinite(metrics["loss"])
+    assert int(state.step) == 2
+    changed = jax.tree_util.tree_map(
+        lambda a, b: bool(jnp.any(a != b)), stats0, state.params["batch_stats"]
+    )
+    assert any(jax.tree_util.tree_leaves(changed)), "running stats never updated"
 
 
 def test_get_resnet_unknown():

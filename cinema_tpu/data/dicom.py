@@ -37,6 +37,8 @@ TAG_RESCALE_INTERCEPT = (0x0028, 0x1052)
 TAG_RESCALE_SLOPE = (0x0028, 0x1053)
 TAG_PIXEL_DATA = (0x7FE0, 0x0010)
 TAG_TRIGGER_TIME = (0x0018, 0x1060)
+TAG_SPACING_BETWEEN_SLICES = (0x0018, 0x0088)
+TAG_CARDIAC_NUMBER_OF_IMAGES = (0x0018, 0x1090)
 
 EXPLICIT_VR_LE = "1.2.840.10008.1.2.1"
 IMPLICIT_VR_LE = "1.2.840.10008.1.2"
@@ -208,3 +210,104 @@ def load_series(paths: Sequence[Union[str, Path]]) -> Tuple[np.ndarray, DicomIma
 def sort_cine_frames(images: List[DicomImage]) -> List[DicomImage]:
     """Order one slice's cine frames by trigger time (reference dicom.py 4D assembly)."""
     return sorted(images, key=lambda im: (im.trigger_time or 0.0, im.instance_number))
+
+
+def _float_tag(im: DicomImage, tag: Tuple[int, int]) -> Optional[float]:
+    value = im.elements.get(tag)
+    if value is None:
+        return None
+    text = _decode_str(value)
+    return float(text) if text else None
+
+
+def _int_tag(im: DicomImage, tag: Tuple[int, int]) -> Optional[int]:
+    value = _float_tag(im, tag)
+    return int(value) if value is not None else None
+
+
+def find_series(dcm_dir: Union[str, Path]) -> List[Path]:
+    """Files of the lexicographically-last series in a folder.
+
+    Folders sometimes hold more than one acquisition; group the ``*.dcm``
+    files by SeriesInstanceUID (missing UIDs — as in the Kaggle dataset —
+    group together) and keep the last-sorted UID (reference
+    cinema/data/dicom.py:23-47).
+    """
+    series: Dict[str, List[Path]] = {}
+    for f in sorted(Path(dcm_dir).glob("*.dcm")):
+        suid = read_dicom(f).series_uid or "suid"
+        series.setdefault(suid, []).append(f)
+    if not series:
+        raise ValueError(f"No .dcm files found in {dcm_dir}.")
+    return sorted(series[sorted(series)[-1]])
+
+
+def load_dicom_folder(slice_dirs: Sequence[Union[str, Path]]):
+    """Assemble one 4D cine volume from per-slice DICOM folders.
+
+    Each folder holds one z-slice's cine frames; folders are ordered
+    base->apex by the caller. Reproduces the reference's assembly
+    (cinema/data/dicom.py:50-182):
+
+    - geometry from the first slice's first frame, converted DICOM LPS ->
+      NIfTI RAS by negating the x/y components of position and orientation;
+    - z axis from the first->second slice origin difference (or the plane
+      normal for single-slice stacks);
+    - z spacing from SpacingBetweenSlices, else consecutive-origin distance,
+      else SliceThickness;
+    - per-slice frames ordered by TriggerTime; missing/short cine series
+      copy the previous frame;
+    - frame count from CardiacNumberOfImages (fallback: max frames seen).
+
+    Returns:
+        cinema_tpu.data.volume.Volume with array (x, y, z, t) float32.
+    """
+    from cinema_tpu.data.volume import Volume  # local import to avoid a cycle
+
+    slice_dirs = [Path(d) for d in slice_dirs]
+    z = len(slice_dirs)
+    if z == 0:
+        raise ValueError("No slice directories given.")
+
+    per_slice: List[List[DicomImage]] = []
+    for d in slice_dirs:
+        frames = [read_dicom(f) for f in find_series(d)]
+        per_slice.append(sort_cine_frames(frames))
+
+    first = per_slice[0][0]
+    nx, ny = first.pixel_array.shape[1], first.pixel_array.shape[0]  # cols, rows
+    t = _int_tag(first, TAG_CARDIAC_NUMBER_OF_IMAGES) or max(len(f) for f in per_slice)
+    dx, dy = first.spacing[1], first.spacing[0]  # PixelSpacing is (row, col)
+
+    # LPS -> RAS: negate x/y components (reference dicom.py:71-92)
+    pos_ul = np.asarray(first.position, dtype=np.float64)
+    pos_ul[:2] = -pos_ul[:2]
+    axis_x = np.asarray(first.orientation[:3], dtype=np.float64)
+    axis_y = np.asarray(first.orientation[3:6], dtype=np.float64)
+    axis_x[:2] = -axis_x[:2]
+    axis_y[:2] = -axis_y[:2]
+
+    pos_ul2 = None
+    if z >= 2:
+        second = per_slice[1][0]
+        pos_ul2 = np.asarray(second.position, dtype=np.float64)
+        pos_ul2[:2] = -pos_ul2[:2]
+        axis_z = pos_ul2 - pos_ul
+        axis_z = axis_z / np.linalg.norm(axis_z)
+    else:
+        axis_z = np.cross(axis_x, axis_y)
+
+    dz = _float_tag(first, TAG_SPACING_BETWEEN_SLICES)
+    if dz is None:
+        dz = float(np.linalg.norm(pos_ul2 - pos_ul)) if pos_ul2 is not None else first.slice_thickness
+
+    volume = np.zeros((nx, ny, z, t), dtype=np.float32)
+    for k, frames in enumerate(per_slice):
+        for j in range(t):
+            if j < len(frames):
+                volume[:, :, k, j] = frames[j].pixel_array.T  # (y,x) -> (x,y)
+            else:
+                volume[:, :, k, j] = volume[:, :, k, j - 1]
+
+    rotation = np.stack([axis_x, axis_y, axis_z], axis=1)
+    return Volume(array=volume, origin=pos_ul, spacing=np.array([dx, dy, dz]), rotation=rotation)

@@ -128,16 +128,27 @@ def load_torch_state_dict(
     state_dict: Dict[str, np.ndarray],
     strict: bool = True,
     inflate_patch_embed_chans: bool = False,
+    expected_frozen: Optional[Dict[str, np.ndarray]] = None,
 ) -> Tuple[Any, List[str], List[str]]:
     """Fill a flax param tree from a torch state_dict.
+
+    The reference registers its frozen sincos pos-embeds as (requires_grad
+    =False) nn.Parameters, so they appear in the published checkpoints
+    (reference vit.py:409-418); our models recompute them as baked
+    constants. Keys ending in ``.pos_embed`` are therefore consumed without
+    loading — and verified against ``expected_frozen`` when provided, which
+    pins the sincos table (incl. the np.meshgrid axis-order quirk) to the
+    published values.
 
     Args:
         params: flax params template ({'params': ...} or the inner tree).
         state_dict: torch-named tensors (numpy or torch tensors).
         strict: raise if a flax param has no torch counterpart or vice versa
-            (pos-embeds and other baked constants never count).
+            (frozen pos-embeds never count).
         inflate_patch_embed_chans: repeat first-conv weights along input
             channels when shapes differ (reference convvit.py:666-682).
+        expected_frozen: optional {torch_key: expected array} for frozen
+            constants; mismatches raise.
 
     Returns:
         (new_params, missing_torch_keys, unused_torch_keys)
@@ -179,6 +190,22 @@ def load_torch_state_dict(
         used.add(torch_key)
 
     unused = sorted(set(state.keys()) - used)
+    frozen = [k for k in unused if k.endswith(".pos_embed") or k == "pos_embed"]
+    if frozen:
+        for key in frozen:
+            if expected_frozen is not None and key in expected_frozen:
+                want = np.asarray(expected_frozen[key], dtype=np.float64)
+                got = state[key].astype(np.float64)
+                if want.shape != got.shape or not np.allclose(want, got, atol=1e-5):
+                    raise ValueError(
+                        f"Frozen constant {key} in the checkpoint does not match the "
+                        f"recomputed sincos table (shape {got.shape} vs {want.shape})."
+                    )
+        logger.info(
+            f"Skipped {len(frozen)} frozen sincos pos-embed keys "
+            "(recomputed as constants in this implementation)."
+        )
+        unused = [k for k in unused if k not in frozen]
     if strict:
         if missing:
             raise ValueError(f"Missing torch keys for flax params: {missing}")

@@ -182,6 +182,36 @@ def init_params(model, images: Optional[Dict[str, jnp.ndarray]] = None):
     return jax.jit(fn)()
 
 
+def expected_frozen_pos_embeds(model) -> Dict[str, np.ndarray]:
+    """Expected values of the checkpoint's frozen sincos pos-embed keys.
+
+    The reference stores its frozen pos-embeds as nn.Parameters (reference
+    vit.py:409-418, mae.py:155-204), so published safetensors contain
+    ``enc_down_dict.{view}.pos_embed`` (+ ``dec_embed_dict.{view}.pos_embed``
+    for CineMA). We recompute them; this map lets the bridge verify the
+    checkpoint's tables bit-for-bit against ours at load time.
+    """
+    from cinema_tpu.models.convvit import downsample_stack_sizes
+    from cinema_tpu.models.vit import get_pos_embed_array
+
+    out: Dict[str, np.ndarray] = {}
+    for view in model.views:
+        grid = downsample_stack_sizes(
+            tuple(model.image_size_dict[view]),
+            tuple(model.enc_patch_size_dict[view]),
+            tuple(model.enc_scale_factor_dict[view]),
+            len(model.enc_conv_chans),
+        )[2]
+        out[f"enc_down_dict.{view}.pos_embed"] = np.asarray(
+            get_pos_embed_array(model.enc_embed_dim, grid)
+        )
+        if isinstance(model, CineMA):
+            out[f"dec_embed_dict.{view}.pos_embed"] = np.asarray(
+                get_pos_embed_array(model.dec_embed_dim, grid)
+            )
+    return out
+
+
 def load_safetensors(path: Union[str, Path]) -> Dict[str, np.ndarray]:
     """Read a safetensors file into numpy arrays."""
     from safetensors.numpy import load_file
@@ -218,7 +248,9 @@ def mae_from_pretrained(
     model = get_mae_model(config, dtype=dtype, remat=False)
     params = init_params(model)
     state_dict = load_safetensors(model_path)
-    params, _, _ = load_torch_state_dict(params, state_dict, strict=True)
+    params, _, _ = load_torch_state_dict(
+        params, state_dict, strict=True, expected_frozen=expected_frozen_pos_embeds(model)
+    )
     logger.info(f"Loaded pretrained weights from {model_path}.")
     return model, params
 
@@ -252,6 +284,8 @@ def from_finetuned(
         raise ValueError(f"kind must be 'convunetr' or 'convvit', got {kind}.")
     params = init_params(model)
     state_dict = load_safetensors(resolve(model_path))
-    params, _, _ = load_torch_state_dict(params, state_dict, strict=True)
+    params, _, _ = load_torch_state_dict(
+        params, state_dict, strict=True, expected_frozen=expected_frozen_pos_embeds(model)
+    )
     logger.info("Loaded finetuned weights.")
     return model, params

@@ -44,7 +44,28 @@ def _load_view_image(pid_dir: Path, pid: str, view: str, frame_name: str) -> np.
     return arr.astype(np.float32)
 
 
-class EDESSegmentationDataset:
+class SeededItemRNG:
+    """Deterministic per-item augmentation RNG.
+
+    Round-1 regression: every dataset drew OS-entropy Generators, so no run
+    was reproducible despite the transform layer being built around explicit
+    Generators. The rng for item ``idx`` derives from (seed, epoch, idx);
+    BatchLoader advances the epoch via set_epoch, so re-running a seeded
+    pipeline replays identical augmentations (replaces torch's
+    DataLoader worker seeding + DistributedSampler.set_epoch).
+    """
+
+    seed: int = 0
+    _epoch: int = 0
+
+    def set_epoch(self, epoch: int) -> None:
+        self._epoch = int(epoch)
+
+    def _item_rng(self, idx: int) -> np.random.Generator:
+        return np.random.default_rng([int(self.seed), int(self._epoch), int(idx)])
+
+
+class EDESSegmentationDataset(SeededItemRNG):
     """ED/ES segmentation pairs; idx//2 = patient, idx%2 = ED/ES
     (reference segmentation/dataset.py:33-137)."""
 
@@ -84,11 +105,11 @@ class EDESSegmentationDataset:
             data[f"{view}_image"] = image[..., None]  # channels-last
             data[f"{view}_label"] = label.astype(np.int8)
         if self.transform:
-            data = self.transform(data, np.random.default_rng())
+            data = self.transform(data, self._item_rng(idx))
         return data
 
 
-class EDESClassificationDataset:
+class EDESClassificationDataset(SeededItemRNG):
     """ED+ES stacked as 2 channels with a class label
     (reference classification/dataset.py:32-133)."""
 
@@ -126,11 +147,11 @@ class EDESClassificationDataset:
                 image = image[:, :, 0]  # (x, y, 2)
             data[f"{view}_image"] = image
         if self.transform:
-            data = self.transform(data, np.random.default_rng())
+            data = self.transform(data, self._item_rng(idx))
         return data
 
 
-class EDESRegressionDataset:
+class EDESRegressionDataset(SeededItemRNG):
     """ED+ES channels with z-normalised scalar target
     (reference regression/dataset.py:22-133)."""
 
@@ -170,15 +191,18 @@ class EDESRegressionDataset:
                 image = image[:, :, 0]
             data[f"{view}_image"] = image
         if self.transform:
-            data = self.transform(data, np.random.default_rng())
+            data = self.transform(data, self._item_rng(idx))
         return data
 
 
-class CineSegmentationDataset:
+class CineSegmentationDataset(SeededItemRNG):
     """Per-frame segmentation from 4D cine volumes, frame-expanded index
     (reference segmentation/rescan/dataset.py:22-130).
 
-    meta_df needs pid, n_slices, n_frames columns; file pid/pid_sax_t.nii.gz.
+    meta_df needs pid, n_slices, n_frames columns; files are the rescan
+    preprocess outputs ``pid/{view}_t.nii.gz`` (+ ``{view}_gt_t.nii.gz`` for
+    labeled splits). Images are min-max normalised per frame like the
+    reference; unlabeled (test_retest) rows pass edv/esv/ef through.
     """
 
     def __init__(
@@ -186,6 +210,7 @@ class CineSegmentationDataset:
         data_dir: Union[str, Path],
         meta_df: pd.DataFrame,
         views: Union[str, Sequence[str]] = "sax",
+        has_labels: bool = True,
         transform: Optional[Transform] = None,
         max_n_frames: Optional[int] = None,
     ) -> None:
@@ -193,6 +218,9 @@ class CineSegmentationDataset:
         self.data_dir = Path(data_dir)
         self.meta_df = meta_df.reset_index(drop=True)
         self.views = _as_views(views)
+        if has_labels and set(self.views) != {"sax"}:
+            raise ValueError(f"Only the SAX view has labels, got {self.views}.")
+        self.has_labels = has_labels
         self.transform = transform
         self.index_map: List[tuple] = []
         for i, row in self.meta_df.iterrows():
@@ -210,22 +238,29 @@ class CineSegmentationDataset:
         row = self.meta_df.iloc[row_idx]
         pid = str(row["pid"])
         pid_dir = self.data_dir / pid
-        view = self.views[0]
-        image, _ = load_nifti_frame(pid_dir / f"{pid}_{view}_t.nii.gz", t)
-        data: Sample = {
-            "pid": pid,
-            "t": np.asarray(t),
-            f"{view}_width": np.asarray(image.shape[0]),
-            f"{view}_height": np.asarray(image.shape[1]),
-            "n_slices": np.asarray(int(row["n_slices"])),
-            f"{view}_image": image.astype(np.float32)[..., None],
-        }
-        gt_path = pid_dir / f"{pid}_{view}_t{t}_gt.nii.gz"
-        if gt_path.exists():
-            label, _ = load_nifti(gt_path)
-            data[f"{view}_label"] = label.astype(np.int8)
+        data: Sample = {"pid": pid, "frame": np.asarray(t)}
+        for view in self.views:
+            image, _ = load_nifti_frame(pid_dir / f"{view}_t.nii.gz", t)
+            image = image.astype(np.float32)
+            v_min, v_max = float(image.min()), float(image.max())
+            if v_max > v_min:
+                image = (image - v_min) / (v_max - v_min)
+            if view == "sax":
+                data["n_slices"] = np.asarray(int(row["n_slices"]))
+            else:
+                image = image[..., 0]
+            data[f"{view}_width"] = np.asarray(image.shape[0])
+            data[f"{view}_height"] = np.asarray(image.shape[1])
+            data[f"{view}_image"] = image[..., None]  # channels-last
+            if self.has_labels:
+                label, _ = load_nifti_frame(pid_dir / f"{view}_gt_t.nii.gz", t)
+                data[f"{view}_label"] = label.astype(np.int8)
+            else:
+                for col in ("edv", "esv", "ef"):
+                    if col in row:
+                        data[col] = np.asarray(float(row[col]))
         if self.transform:
-            data = self.transform(data, np.random.default_rng())
+            data = self.transform(data, self._item_rng(idx))
         return data
 
 
@@ -252,7 +287,7 @@ def gaussian_heatmap(
     return np.stack(maps, axis=-1).astype(np.float32)
 
 
-class LandmarkDetectionDataset:
+class LandmarkDetectionDataset(SeededItemRNG):
     """PNG images + landmark coords -> gaussian heatmap labels
     (reference segmentation/landmark/dataset.py)."""
 
@@ -297,7 +332,7 @@ class LandmarkDetectionDataset:
             f"{self.view}_height": np.asarray(image.shape[1]),
         }
         if self.transform:
-            data = self.transform(data, np.random.default_rng())
+            data = self.transform(data, self._item_rng(idx))
         return data
 
 
@@ -317,11 +352,11 @@ class LandmarkRegressionDataset(LandmarkDetectionDataset):
             f"{self.view}_height": np.asarray(image.shape[1]),
         }
         if self.transform:
-            data = self.transform(data, np.random.default_rng())
+            data = self.transform(data, self._item_rng(idx))
         return data
 
 
-class UKBCineDataset:
+class UKBCineDataset(SeededItemRNG):
     """Streaming pretrain dataset: per item one random frame of each view's
     4D NIfTI via frame-seek reads (reference mae/pretrain.py:88-154)."""
 
@@ -345,7 +380,7 @@ class UKBCineDataset:
     def __getitem__(self, idx: int) -> Sample:
         pid = self.pids[idx]
         pid_dir = self.data_dir / pid
-        rng = np.random.default_rng()
+        rng = self._item_rng(idx)
         data: Sample = {"pid": pid}
         for view in self.views:
             path = pid_dir / f"{pid}_{view}_t.nii.gz"
@@ -411,6 +446,8 @@ class BatchLoader:
         order = np.arange(len(self.dataset))
         if self.shuffle:
             np.random.default_rng(self.seed + self._epoch).shuffle(order)
+        if hasattr(self.dataset, "set_epoch"):
+            self.dataset.set_epoch(self._epoch)  # deterministic augmentations
         self._epoch += 1
         batches = [
             order[i : i + self.batch_size] for i in range(0, len(order), self.batch_size)
@@ -455,7 +492,7 @@ class BatchLoader:
             stop.set()
 
 
-class EMIDECDataset:
+class EMIDECDataset(SeededItemRNG):
     """EMIDEC delayed-enhancement MI dataset (reference segmentation/emidec/train.py:34-115).
 
     Layout: data_dir/pid/pid.nii.gz + pid_gt.nii.gz.
@@ -493,11 +530,11 @@ class EMIDECDataset:
             label, _ = load_nifti(gt_path)
             data["sax_label"] = label.astype(np.int8)
         if self.transform:
-            data = self.transform(data, np.random.default_rng())
+            data = self.transform(data, self._item_rng(idx))
         return data
 
 
-class MYOPS2020Dataset:
+class MYOPS2020Dataset(SeededItemRNG):
     """MyoPS2020 multi-sequence dataset: bSSFP/LGE/T2 as 3 channels
     (reference segmentation/myops2020/train.py:34-120)."""
 
@@ -536,11 +573,11 @@ class MYOPS2020Dataset:
             label, _ = load_nifti(gt_path)
             data["sax_label"] = label.astype(np.int8)
         if self.transform:
-            data = self.transform(data, np.random.default_rng())
+            data = self.transform(data, self._item_rng(idx))
         return data
 
 
-class KaggleVideoDataset:
+class KaggleVideoDataset(SeededItemRNG):
     """Kaggle cine video dataset for label-free EF eval
     (reference segmentation/kaggle/dataset.py:24-115).
 
@@ -588,7 +625,7 @@ class KaggleVideoDataset:
         }
         if self.transform:
             tmp = {f"{self.view}_image": np.moveaxis(video, 0, -1)}  # spatial-first for transforms
-            tmp = self.transform(tmp, np.random.default_rng())
+            tmp = self.transform(tmp, self._item_rng(idx))
             video = np.moveaxis(tmp[f"{self.view}_image"], -1, 0)
         if video.shape[0] < self.max_n_frames:
             pad = np.zeros((self.max_n_frames - video.shape[0], *video.shape[1:]), video.dtype)

@@ -128,7 +128,8 @@ def edes_seg_eval(config: Config, split: str, out_dir: Path, model, params, metr
     mean_df = df.drop(columns=["pid", "is_ed"]).mean(numeric_only=True).to_frame().T
     mean_df.to_csv(out_dir / "mean_metrics.csv", index=False)
     view = views if isinstance(views, str) else views[0]
-    vol_cols = [c for c in df.columns if "volume" in c and c.startswith(view)]
+    # exact "{view}_" prefix: unprefixed mean-metric names must never match
+    vol_cols = [c for c in df.columns if "volume" in c and c.startswith(f"{view}_")]
     if vol_cols:
         slim = df[["pid", "is_ed"] + vol_cols].rename(
             columns={c: c[len(view) + 1 :] for c in vol_cols}
@@ -136,6 +137,71 @@ def edes_seg_eval(config: Config, split: str, out_dir: Path, model, params, metr
         ef_df = ef_metrics_from_edes(slim)
         ef_df.to_csv(out_dir / "ef_metrics.csv", index=False)
     logger.info(f"Wrote metrics to {out_dir}.")
+
+
+def rescan_seg_eval(config: Config, split: str, out_dir: Path, model, params) -> None:
+    """Labeled rescan: per-frame sliding-window seg metrics over the cine
+    dataset (reference segmentation/rescan/eval.py)."""
+    from cinema_tpu.data.datasets import CineSegmentationDataset
+    from cinema_tpu.metrics import segmentation_metrics
+
+    data_dir = Path(config.data.dir).expanduser()
+    meta_df = pd.read_csv(data_dir / f"{split}_metadata.csv", dtype={"pid": str})
+    _, val_transform = get_segmentation_transforms(config)
+    dataset = CineSegmentationDataset(
+        data_dir / split, meta_df, views=config.model.views, transform=val_transform
+    )
+    loader = BatchLoader(dataset, batch_size=1, n_workers=config.train.get("n_workers", 4))
+    patch_size_dict, spacing_dict = patch_and_spacing_dicts(config)
+    forward = make_seg_forward(model)
+
+    rows: List[Dict] = []
+    for batch in loader:
+        _, metrics = segmentation_eval_batch(
+            forward, params, batch, patch_size_dict, spacing_dict, segmentation_metrics
+        )
+        metrics["pid"] = batch["pid"][0]
+        metrics["frame"] = int(np.asarray(batch["frame"]).reshape(-1)[0])
+        rows.append(metrics)
+    df = pd.DataFrame(rows)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    df.to_csv(out_dir / "metrics.csv", index=False)
+    df.drop(columns=["pid", "frame"]).mean(numeric_only=True).to_frame().T.to_csv(
+        out_dir / "mean_metrics.csv", index=False
+    )
+    logger.info(f"Wrote metrics to {out_dir}.")
+
+
+def landmark_seg_eval(config: Config, split: str, out_dir: Path, model, params) -> None:
+    """Landmark heatmap eval route (reference eval.py:159-168)."""
+    from cinema_tpu.data.datasets import LandmarkDetectionDataset
+    from cinema_tpu.tasks.segmentation.landmark import landmark_eval_dataloader
+
+    data_dir = Path(config.data.dir).expanduser()
+    meta_df = pd.read_csv(data_dir / f"{split}_metadata.csv")
+    view = config.model.views if isinstance(config.model.views, str) else config.model.views[0]
+    dataset = LandmarkDetectionDataset(data_dir, meta_df, view)
+    loader = BatchLoader(dataset, batch_size=1, n_workers=config.train.get("n_workers", 4))
+    metrics = landmark_eval_dataloader(model, params, loader, config)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    pd.DataFrame([metrics]).to_csv(out_dir / "mean_metrics.csv", index=False)
+    logger.info(f"Landmark heatmap eval: {metrics}")
+
+
+def landmark_reg_eval(config: Config, split: str, out_dir: Path, model, params) -> None:
+    """Landmark coordinate-regression eval route (reference eval.py:100-113)."""
+    from cinema_tpu.data.datasets import LandmarkRegressionDataset
+    from cinema_tpu.tasks.regression.landmark import landmark_regression_eval_dataloader
+
+    data_dir = Path(config.data.dir).expanduser()
+    meta_df = pd.read_csv(data_dir / f"{split}_metadata.csv")
+    view = config.model.views if isinstance(config.model.views, str) else config.model.views[0]
+    dataset = LandmarkRegressionDataset(data_dir, meta_df, view)
+    loader = BatchLoader(dataset, batch_size=1, n_workers=config.train.get("n_workers", 4))
+    metrics = landmark_regression_eval_dataloader(model, params, loader, config)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    pd.DataFrame([metrics]).to_csv(out_dir / "mean_metrics.csv", index=False)
+    logger.info(f"Landmark regression eval: {metrics}")
 
 
 def main(argv: Optional[list] = None) -> None:
@@ -166,6 +232,15 @@ def main(argv: Optional[list] = None) -> None:
             metrics = evaluate_kaggle(model, params, config, split=args.split)
             out_dir.mkdir(parents=True, exist_ok=True)
             pd.DataFrame([metrics]).to_csv(out_dir / "mean_metrics.csv", index=False)
+        elif data == "rescan":
+            if args.split == "test_retest_100":
+                from cinema_tpu.tasks.segmentation.rescan_ef_eval import rescan_ef_eval
+
+                rescan_ef_eval(config, model, params, args.split, out_dir)
+            else:
+                rescan_seg_eval(config, args.split, out_dir, model, params)
+        elif data == "landmark":
+            landmark_seg_eval(config, args.split, out_dir, model, params)
         else:
             raise ValueError(f"Unknown dataset: {data}")
     elif config.task == "classification":
@@ -185,6 +260,9 @@ def main(argv: Optional[list] = None) -> None:
         out_dir.mkdir(parents=True, exist_ok=True)
         pd.DataFrame([metrics]).to_csv(out_dir / "mean_metrics.csv", index=False)
     elif config.task == "regression":
+        if data == "landmark":
+            landmark_reg_eval(config, args.split, out_dir, model, params)
+            return
         from cinema_tpu.tasks.regression import regression_eval_dataloader
 
         data_dir = Path(config.data.dir).expanduser()

@@ -107,6 +107,9 @@ def run_train(
     """
     rng = jax.random.PRNGKey(config.seed)
     train_dataset, val_dataset = load_dataset(config)
+    for ds in (train_dataset, val_dataset):
+        if hasattr(ds, "seed"):
+            ds.seed = config.seed  # reproducible per-item augmentations
     config = maybe_reduce_batch_size(config, len(train_dataset))
 
     train_loader = BatchLoader(

@@ -161,3 +161,66 @@ def test_eval_dispatcher_on_run_folder(acdc_dir, tmp_path):
     assert "mean_dice_score" in df.columns
     ef = pd.read_csv(out / "ef_metrics.csv")
     assert {"true_ef", "pred_ef", "ef_error"} <= set(ef.columns)
+
+
+def test_cine_segmentation_dataset_rescan_layout(tmp_path):
+    """CineSegmentationDataset must read the rescan preprocess layout:
+    pid/{view}_t.nii.gz + {view}_gt_t.nii.gz 4D label, min-max normalised."""
+    from cinema_tpu.data.datasets import CineSegmentationDataset
+    from cinema_tpu.data.nifti import save_nifti
+
+    pid_dir = tmp_path / "G" / "s_0001"
+    pid_dir.mkdir(parents=True)
+    rng = np.random.default_rng(0)
+    save_nifti(pid_dir / "sax_t.nii.gz", (rng.random((12, 12, 3, 4)) * 255).astype(np.uint8))
+    save_nifti(pid_dir / "sax_gt_t.nii.gz", rng.integers(0, 4, (12, 12, 3, 4)).astype(np.uint8))
+    meta = pd.DataFrame({"pid": ["G/s_0001"], "n_slices": [3], "n_frames": [4]})
+
+    ds = CineSegmentationDataset(tmp_path, meta, views="sax")
+    assert len(ds) == 4
+    s = ds[1]
+    assert s["sax_image"].shape == (12, 12, 3, 1)
+    assert s["sax_label"].shape == (12, 12, 3)
+    assert 0.0 <= s["sax_image"].min() and s["sax_image"].max() <= 1.0
+    assert int(s["frame"]) == 1
+
+    # unlabeled test_retest rows pass edv/esv/ef through
+    meta2 = meta.assign(pid=["G/s_0001"], edv=[100.0], esv=[40.0], ef=[60.0])
+    ds2 = CineSegmentationDataset(tmp_path, meta2, views="sax", has_labels=False)
+    s2 = ds2[0]
+    assert "sax_label" not in s2
+    assert float(s2["ef"]) == 60.0
+
+
+def test_eval_dispatcher_routes(monkeypatch, tmp_path):
+    """Every reference dispatcher route must resolve (reference eval.py:53-171):
+    landmark (heatmap + coordinate) and rescan (seg + test_retest_100 EF)."""
+    from cinema_tpu.config import from_dict
+    from cinema_tpu.tasks import evaluate
+
+    calls = []
+
+    def fake_load_run(folder, dtype=None):
+        cfg = from_dict({"task": fake_load_run.task, "data": {"name": fake_load_run.data}})
+        return cfg, object(), object()
+
+    monkeypatch.setattr(evaluate, "load_run", fake_load_run)
+    for route in ("rescan_seg_eval", "landmark_seg_eval", "landmark_reg_eval"):
+        monkeypatch.setattr(
+            evaluate, route, lambda *a, _r=route, **k: calls.append(_r), raising=True
+        )
+    monkeypatch.setattr(
+        "cinema_tpu.tasks.segmentation.rescan_ef_eval.rescan_ef_eval",
+        lambda *a, **k: calls.append("rescan_ef_eval"),
+    )
+
+    for task, data, split, expect in [
+        ("segmentation", "rescan", "test", "rescan_seg_eval"),
+        ("segmentation", "rescan", "test_retest_100", "rescan_ef_eval"),
+        ("segmentation", "landmark", "test", "landmark_seg_eval"),
+        ("regression", "landmark", "test", "landmark_reg_eval"),
+    ]:
+        fake_load_run.task = task
+        fake_load_run.data = data
+        evaluate.main(["--folder_path", str(tmp_path), "--split", split])
+        assert calls[-1] == expect, (task, data, split, calls)

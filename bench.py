@@ -1,15 +1,23 @@
-"""Benchmark: MAE pretrain throughput (cine clips/sec/chip) on real TPU.
+"""Benchmarks on the real TPU chip. Prints one JSON line per metric; the
+LAST line is the driver's primary metric (MAE pretrain throughput).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Metrics:
+1. mae_pretrain_throughput — full jitted CineMA ViT-base pretrain update
+   (4 views, UKB geometry: SAX 192x192x16 + 3x LAX 256x256, mask 0.75, bf16,
+   AdamW), the reference's flagship workload (cinema/mae/pretrain.py, batch
+   16/device). Reports achieved TFLOP/s and MFU from XLA's cost analysis.
+2. seg_sliding_window_latency — ConvUNetR-base ACDC SAX study eval: ED+ES
+   frames with a z-overflowing volume so the sliding-window path runs
+   (reference hot loop segmentation/train.py:204-210 is serial batch-1; ours
+   batches all patches in one forward).
+3. seg_serving_throughput — the 50-frame cine serving path (reference
+   examples/inference/segmentation_sax.py:110-164 loops frames; ours runs
+   one batched forward).
 
-The measured step is the full jitted CineMA ViT-base pretrain update
-(4 views, UKB geometry: SAX 192x192x16 + 3x LAX 256x256, mask 0.75, bf16
-compute, AdamW) — the reference's flagship workload (cinema/mae/pretrain.py,
-batch 16/device on NVIDIA GPUs). No reference throughput number exists
-(BASELINE.md), so vs_baseline is measured against the reference recipe's
-per-device batch-16 step on one A100 estimated from its config; until an
-A100 A/B number exists we report vs_baseline relative to BASELINE_CLIPS_PER_SEC
-below (our round-1 TPU v5e measurement, so later rounds show relative gains).
+``vs_baseline`` semantics: no reference numbers exist (BASELINE.md), so the
+pretrain metric compares ROUND-OVER-ROUND against the pinned round-1
+measurement (21.7 clips/s/chip, first working build) — i.e. cumulative
+speedup of this framework, not an A/B against the reference.
 """
 
 from __future__ import annotations
@@ -21,25 +29,35 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-# round-1 measurement on TPU v5e (one chip); later rounds compare against this
+# round-1 first measurement on TPU v5e (one chip); vs_baseline = cumulative gain
 BASELINE_CLIPS_PER_SEC = 21.7
+# TPU v5e peak bf16 matmul throughput per chip
+V5E_PEAK_FLOPS = 197e12
 
 BATCH = 16  # reference per-device batch (cinema/mae/config.yaml:45)
 N_WARMUP = 2
 N_STEPS = 10
 
 
-def main() -> None:
-    import os
-    import sys
+def _sync(x) -> float:
+    # device_get sync: block_until_ready is unreliable over the axon relay
+    return float(np.asarray(jax.device_get(x)).reshape(-1)[0])
 
+
+def _flops_of(compiled) -> float:
+    try:
+        cost = compiled.cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        return float(cost.get("flops", 0.0))
+    except Exception:
+        return 0.0
+
+
+def bench_pretrain(profile_dir=None) -> float:
     from __graft_entry__ import VIEW_SIZES_FULL, _build_mae
     from cinema_tpu.train.optim import build_optimizer
     from cinema_tpu.train.state import make_mae_train_step, make_train_state
-
-    profile_dir = None
-    if "--profile" in sys.argv:
-        profile_dir = os.environ.get("CINEMA_PROFILE_DIR", "/tmp/cinema_profile")
 
     model = _build_mae(VIEW_SIZES_FULL, "base", jnp.bfloat16)
     rng = np.random.default_rng(0)
@@ -68,32 +86,137 @@ def main() -> None:
     step = make_mae_train_step(model, tx, 0.75, donate=True)
 
     key = jax.random.PRNGKey(0)
+    flops_per_step = 0.0
+    try:
+        flops_per_step = _flops_of(step.lower(state, batch, key).compile())
+    except Exception:
+        pass
+
     for _ in range(N_WARMUP):
         state, metrics = step(state, batch, key)
-    float(metrics["loss"])  # device_get sync: block_until_ready is unreliable
-    # over the experimental axon relay (returned before execution finished)
+    _sync(metrics["loss"])
 
     if profile_dir:
         jax.profiler.start_trace(profile_dir)
     t0 = time.perf_counter()
     for _ in range(N_STEPS):
         state, metrics = step(state, batch, key)
-    float(metrics["loss"])
+    _sync(metrics["loss"])
     t1 = time.perf_counter()
     if profile_dir:
         jax.profiler.stop_trace()
 
-    clips_per_sec = BATCH * N_STEPS / (t1 - t0)
-    print(
-        json.dumps(
-            {
-                "metric": "mae_pretrain_throughput",
-                "value": round(clips_per_sec, 3),
-                "unit": "clips/sec/chip",
-                "vs_baseline": round(clips_per_sec / BASELINE_CLIPS_PER_SEC, 3),
-            }
-        )
+    dt = (t1 - t0) / N_STEPS
+    clips_per_sec = BATCH / dt
+    tflops = flops_per_step / dt / 1e12 if flops_per_step else 0.0
+    mfu = flops_per_step / dt / V5E_PEAK_FLOPS if flops_per_step else 0.0
+    return {
+        "metric": "mae_pretrain_throughput",
+        "value": round(clips_per_sec, 3),
+        "unit": "clips/sec/chip",
+        "vs_baseline": round(clips_per_sec / BASELINE_CLIPS_PER_SEC, 3),
+        "baseline_note": "round-over-round vs round-1 first build (21.7); no reference number exists",
+        "step_ms": round(dt * 1000, 1),
+        "achieved_tflops": round(tflops, 1),
+        "mfu": round(mfu, 4),
+    }
+
+
+def _build_convunetr(dtype):
+    from pathlib import Path
+
+    from cinema_tpu.config import load_config
+    from cinema_tpu.factory import get_convunetr_model, init_params
+
+    config = load_config(Path(__file__).parent / "cinema_tpu" / "configs" / "segmentation" / "acdc.yaml")
+    model = get_convunetr_model(config, dtype=dtype, remat=False)
+    params = init_params(model)
+    return config, model, params
+
+
+def bench_seg_latency() -> dict:
+    """Sliding-window study eval: one ED or ES frame, z 24 > patch 16 =>
+    2 overlapping z-patches batched into ONE forward (the reference loops
+    them serially at batch 1, segmentation/train.py:204-210)."""
+    from cinema_tpu.inference import sliding_window_forward
+
+    config, model, params = _build_convunetr(jnp.bfloat16)
+    patch_size = tuple(config.data.sax.patch_size)  # (192, 192, 16)
+    image = jnp.asarray(
+        np.random.default_rng(0).random((1, 192, 192, 24, 1), dtype=np.float32)
     )
+
+    def run(p, img):
+        probs = sliding_window_forward(
+            lambda imgs: model.apply(p, imgs), {"sax": img}, {"sax": patch_size}, "softmax"
+        )["sax"]
+        return jnp.argmax(probs, axis=-1)
+
+    fn = jax.jit(run)
+    _sync(fn(params, image)[0, 0, 0, 0])  # compile
+    times = []
+    for _ in range(10):
+        t0 = time.perf_counter()
+        _sync(fn(params, image)[0, 0, 0, 0])
+        times.append(time.perf_counter() - t0)
+    times.sort()
+    p50 = times[len(times) // 2]
+    return {
+        "metric": "seg_sliding_window_latency",
+        "value": round(p50 * 1000, 2),
+        "unit": "ms p50 per frame (192x192x24 SAX, 2 z-patches)",
+        "p95_ms": round(times[int(len(times) * 0.95) - 1] * 1000, 2),
+        "frames_per_sec": round(1.0 / p50, 2),
+    }
+
+
+def bench_serving() -> dict:
+    """50-frame cine segmentation, frames chunked to bound activation memory
+    (conv-stem activations are ~190MB/frame at base scale)."""
+    config, model, params = _build_convunetr(jnp.bfloat16)
+    chunk = 10
+    video = np.random.default_rng(0).random((50, 192, 192, 16, 1), dtype=np.float32)
+    chunks = [jnp.asarray(video[i : i + chunk]) for i in range(0, 50, chunk)]
+    fn = jax.jit(
+        lambda p, v: jnp.argmax(model.apply(p, {"sax": v})["sax"], axis=-1).astype(jnp.uint8)
+    )
+    _sync(fn(params, chunks[0])[0, 0, 0, 0])  # compile
+    times = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        outs = [fn(params, c) for c in chunks]
+        _sync(outs[-1][0, 0, 0, 0])
+        times.append(time.perf_counter() - t0)
+    dt = sorted(times)[len(times) // 2]
+    return {
+        "metric": "seg_serving_throughput",
+        "value": round(50 / dt, 1),
+        "unit": "frames/sec/chip (50-frame cine, 192x192x16)",
+        "p50_ms_per_study": round(dt * 1000, 1),
+    }
+
+
+def main() -> None:
+    import os
+    import sys
+
+    profile_dir = None
+    if "--profile" in sys.argv:
+        profile_dir = os.environ.get("CINEMA_PROFILE_DIR", "/tmp/cinema_profile")
+
+    results = []
+    if "--pretrain-only" not in sys.argv:
+        try:
+            results.append(bench_seg_latency())
+        except Exception as e:  # secondary metrics must not break the driver line
+            print(json.dumps({"metric": "seg_sliding_window_latency", "error": str(e)[:200]}))
+        try:
+            results.append(bench_serving())
+        except Exception as e:
+            print(json.dumps({"metric": "seg_serving_throughput", "error": str(e)[:200]}))
+    for r in results:
+        print(json.dumps(r), flush=True)
+    print(json.dumps(bench_pretrain(profile_dir)), flush=True)
 
 
 if __name__ == "__main__":

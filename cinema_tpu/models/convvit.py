@@ -22,9 +22,9 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from cinema_tpu.models.layers import Conv, ConvNormActBlock, Dense, LayerNorm, MaskedConvBlock
-from cinema_tpu.models.vit import PatchEmbed, ViTEncoder, get_pos_embed_array
+from cinema_tpu.models.vit import PatchEmbed, ViTEncoder
 from cinema_tpu.ops.masking import PatchMask, gather_tokens, upsample_mask
-from cinema_tpu.ops.pos_embed import interpolate_pos_embed
+from cinema_tpu.ops.pos_embed import get_nd_sincos_pos_embed, interpolate_pos_embed
 
 Dtype = Any
 
@@ -153,9 +153,11 @@ class DownsampleEncoder(nn.Module):
             skips.append(x)
 
         x = self.linear(self.patch_embed(x))
-        pos_embed = get_pos_embed_array(self.embed_dim, self.patch_embed.grid_size)
+        # stay in numpy until the add: the table is a baked constant and the
+        # torch-exact resize (bicubic A=-0.75) runs host-side at trace time
+        pos_embed = get_nd_sincos_pos_embed(self.embed_dim, self.patch_embed.grid_size)[None]
         pos_embed = interpolate_pos_embed(pos_embed, self.patch_embed.grid_size, grid_size)
-        x = x + pos_embed.astype(x.dtype)
+        x = x + jnp.asarray(pos_embed, dtype=x.dtype)
         return skips, x
 
 

@@ -1,5 +1,6 @@
 """Tests for sin/cos positional embeddings."""
 
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -60,3 +61,57 @@ def test_interpolate_resizes(src, dst):
     out = interpolate_pos_embed(emb[None], src, dst)
     assert out.shape == (1, int(np.prod(dst)), 16)
     assert np.isfinite(np.asarray(out)).all()
+
+
+class TestTorchInterpolationParity:
+    """interpolate_pos_embed must match torch F.interpolate exactly
+    (reference convvit.py:140-163; round-1 gap: Keys a=-0.5 vs torch a=-0.75)."""
+
+    def test_bicubic_matches_torch(self):
+        import torch
+        import torch.nn.functional as F
+
+        from cinema_tpu.ops.pos_embed import interpolate_pos_embed
+
+        rng = np.random.default_rng(0)
+        src, dst, e = (16, 16), (12, 14), 8
+        table = rng.normal(size=(1, src[0] * src[1], e)).astype(np.float32)
+
+        ours = np.asarray(interpolate_pos_embed(jnp.asarray(table), src, dst))
+
+        x = torch.from_numpy(table).reshape(1, *src, e).permute(0, 3, 1, 2)
+        ref = F.interpolate(x, size=dst, mode="bicubic", align_corners=False)
+        ref = ref.permute(0, 2, 3, 1).reshape(1, dst[0] * dst[1], e).numpy()
+        np.testing.assert_allclose(ours, ref, rtol=1e-5, atol=1e-5)
+
+    def test_trilinear_matches_torch(self):
+        import torch
+        import torch.nn.functional as F
+
+        from cinema_tpu.ops.pos_embed import interpolate_pos_embed
+
+        rng = np.random.default_rng(1)
+        src, dst, e = (12, 12, 4), (9, 15, 3), 6
+        table = rng.normal(size=(1, np.prod(src), e)).astype(np.float32)
+
+        ours = np.asarray(interpolate_pos_embed(jnp.asarray(table), src, dst))
+
+        x = torch.from_numpy(table).reshape(1, *src, e).permute(0, 4, 1, 2, 3)
+        ref = F.interpolate(x, size=dst, mode="trilinear", align_corners=False)
+        ref = ref.permute(0, 2, 3, 4, 1).reshape(1, int(np.prod(dst)), e).numpy()
+        np.testing.assert_allclose(ours, ref, rtol=1e-5, atol=1e-5)
+
+    def test_upscale_bicubic_matches_torch(self):
+        import torch
+        import torch.nn.functional as F
+
+        from cinema_tpu.ops.pos_embed import interpolate_pos_embed
+
+        rng = np.random.default_rng(2)
+        src, dst, e = (8, 8), (16, 18), 4
+        table = rng.normal(size=(src[0] * src[1], e)).astype(np.float32)
+        ours = np.asarray(interpolate_pos_embed(jnp.asarray(table), src, dst))
+        x = torch.from_numpy(table).reshape(1, *src, e).permute(0, 3, 1, 2)
+        ref = F.interpolate(x, size=dst, mode="bicubic", align_corners=False)
+        ref = ref.permute(0, 2, 3, 1).reshape(1, dst[0] * dst[1], e).numpy()
+        np.testing.assert_allclose(ours, ref, rtol=1e-5, atol=1e-5)

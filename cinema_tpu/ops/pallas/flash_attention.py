@@ -25,7 +25,22 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-DEFAULT_BLOCK_Q = 256
+DEFAULT_BLOCK_Q = 512
+# VMEM budget for the (block_q, n_k) f32 score/probability buffers; the
+# compiler materializes ~5 of them live (scores/exp/probs/dprobs/dscores)
+_SCORE_VMEM_BUDGET = 10 * 2**20
+
+
+def _auto_block_q(n_q_pad: int, n_k_pad: int, requested: int) -> int:
+    """Largest 128-multiple block that keeps score buffers inside VMEM.
+
+    Measured on v5e (decoder cross-attn B16 H16 Tq2305 Tk768 D32): bwd
+    block 512 beats 128 by 1.28x (fewer programs, fewer dk/dv accumulation
+    revisits); block 1024 regresses (spills).
+    """
+    cap = max(_SCORE_VMEM_BUDGET // (n_k_pad * 4 * 5), 128)
+    block = min(requested, cap, n_q_pad)
+    return max(block // 128 * 128, 128)
 
 
 def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, n_k: int):
@@ -76,9 +91,9 @@ def _flash_forward(
     n_k = k.shape[1]
     scale = head_dim**-0.5
 
-    block_q = min(block_q, _round_up(n_q, 128))
-    n_q_pad = _round_up(n_q, block_q)
     n_k_pad = _round_up(n_k, 128)
+    block_q = _auto_block_q(_round_up(n_q, 128), n_k_pad, block_q)
+    n_q_pad = _round_up(n_q, block_q)
     # TPU Pallas blocks the trailing two dims: work in (B, H, T, D)
     q = jnp.transpose(q, (0, 2, 1, 3))
     k = jnp.transpose(k, (0, 2, 1, 3))
@@ -150,7 +165,7 @@ def _fwd(q, k, v, block_q):
     return out, (q, k, v, out)
 
 
-DEFAULT_BLOCK_Q_BWD = 128
+DEFAULT_BLOCK_Q_BWD = 512
 
 
 def _flash_bwd_kernel(
@@ -214,9 +229,9 @@ def _bwd(block_q, residuals, g):
     n_k = k.shape[1]
     scale = head_dim**-0.5
 
-    block_q = min(DEFAULT_BLOCK_Q_BWD, _round_up(n_q, 128))
-    n_q_pad = _round_up(n_q, block_q)
     n_k_pad = _round_up(n_k, 128)
+    block_q = _auto_block_q(_round_up(n_q, 128), n_k_pad, DEFAULT_BLOCK_Q_BWD)
+    n_q_pad = _round_up(n_q, block_q)
 
     def to_bhtd(x, pad_to):
         x = jnp.transpose(x, (0, 2, 1, 3))

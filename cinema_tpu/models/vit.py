@@ -152,29 +152,48 @@ class Attention(nn.Module):
 
         q = Dense(dim, use_bias=self.qkv_bias, dtype=self.dtype, name="q")(q)
         kv = Dense(dim * 2, use_bias=self.qkv_bias, dtype=self.dtype, name="kv")(k)
-        q = q.reshape(batch, n_q, self.n_heads, head_dim)
-        kv = kv.reshape(batch, n_k, 2, self.n_heads, head_dim)
-        k, v = kv[:, :, 0], kv[:, :, 1]
 
-        if self.qk_norm:
-            q = LayerNorm(epsilon=self.norm_eps, dtype=None, name="q_norm")(q)
-            k = LayerNorm(epsilon=self.norm_eps, dtype=None, name="k_norm")(k)
-        if self.rotary:
-            q, k = apply_rotary(q, k)
+        use_dropout = (not deterministic) and self.attn_drop > 0.0
+        packed_ok = not (use_dropout or self.qk_norm or self.rotary)
+        impl = self.attn_impl
+        if impl == "auto" and packed_ok:
+            import jax
 
-        dropout_rng = None
-        if (not deterministic) and self.attn_drop > 0.0:
-            dropout_rng = self.make_rng("dropout")
-        x = dot_product_attention(
-            q,
-            k,
-            v,
-            dropout_rate=self.attn_drop,
-            deterministic=deterministic,
-            dropout_rng=dropout_rng,
-            implementation=self.attn_impl,
-        )
-        x = x.reshape(batch, n_q, dim)
+            if jax.default_backend() == "tpu":
+                impl = "pallas"
+        if impl == "pallas" and packed_ok:
+            # packed flash path: no (B, T, H, D) array ever reaches HBM —
+            # those are lane-padded up to 4x for head_dim 32 (the decoder)
+            # and every reshape/transpose around them repacks the padding
+            from cinema_tpu.ops.pallas.flash_attention import flash_attention_packed
+
+            # the fused kv projection orders outputs (2, n_heads, head_dim),
+            # so k is the first `dim` columns, v the rest
+            x = flash_attention_packed(q, kv[..., :dim], kv[..., dim:], self.n_heads)
+        else:
+            q = q.reshape(batch, n_q, self.n_heads, head_dim)
+            kv = kv.reshape(batch, n_k, 2, self.n_heads, head_dim)
+            k, v = kv[:, :, 0], kv[:, :, 1]
+
+            if self.qk_norm:
+                q = LayerNorm(epsilon=self.norm_eps, dtype=None, name="q_norm")(q)
+                k = LayerNorm(epsilon=self.norm_eps, dtype=None, name="k_norm")(k)
+            if self.rotary:
+                q, k = apply_rotary(q, k)
+
+            dropout_rng = None
+            if use_dropout:
+                dropout_rng = self.make_rng("dropout")
+            x = dot_product_attention(
+                q,
+                k,
+                v,
+                dropout_rate=self.attn_drop,
+                deterministic=deterministic,
+                dropout_rng=dropout_rng,
+                implementation=self.attn_impl,
+            )
+            x = x.reshape(batch, n_q, dim)
         x = Dense(dim, dtype=self.dtype, name="proj")(x)
         x = nn.Dropout(self.proj_drop)(x, deterministic=deterministic)
         return x

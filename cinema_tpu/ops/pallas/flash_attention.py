@@ -31,14 +31,16 @@ DEFAULT_BLOCK_Q = 512
 _SCORE_VMEM_BUDGET = 10 * 2**20
 
 
-def _auto_block_q(n_q_pad: int, n_k_pad: int, requested: int) -> int:
+def _auto_block_q(
+    n_q_pad: int, n_k_pad: int, requested: int, budget: int = _SCORE_VMEM_BUDGET
+) -> int:
     """Largest 128-multiple block that keeps score buffers inside VMEM.
 
     Measured on v5e (decoder cross-attn B16 H16 Tq2305 Tk768 D32): bwd
     block 512 beats 128 by 1.28x (fewer programs, fewer dk/dv accumulation
     revisits); block 1024 regresses (spills).
     """
-    cap = max(_SCORE_VMEM_BUDGET // (n_k_pad * 4 * 5), 128)
+    cap = max(budget // (n_k_pad * 4 * 5), 128)
     block = min(requested, cap, n_q_pad)
     return max(block // 128 * 128, 128)
 
@@ -269,3 +271,242 @@ def _bwd(block_q, residuals, g):
 
 
 flash_attention.defvjp(_fwd, _bwd)
+
+
+# ---------------------------------------------------------------------------
+# Packed-layout flash attention: (batch, tokens, embed) in HBM, heads split
+# in VMEM.
+#
+# Why: (B, T, H, D) arrays with D=32 (the CineMA decoder) are lane-padded
+# 4x in HBM on TPU — every transpose/pad around the per-head kernel repacks
+# 4x-inflated buffers, and the kernel itself reads 4x the bytes. Keeping
+# q/k/v packed as (B, T, E) (E = n_heads * head_dim, a lane multiple) makes
+# all HBM traffic dense and moves the head split into VMEM where it is a
+# cheap relayout. Measured on v5e at the decoder shape (B16 Tq2305 Tk768
+# H16 D32): fwd+bwd 10.1ms (blocked per-head kernel) -> see bench notes.
+# ---------------------------------------------------------------------------
+
+
+def _pick_head_groups(n_heads: int, head_dim: int, embed: int, n_k_pad: int) -> int:
+    """Split heads over a grid axis so per-program k/v/dk/dv buffers fit VMEM."""
+    candidates = [g for g in (1, 2, 3, 4, 6, 8) if n_heads % g == 0 and (embed // g) % 128 == 0]
+    if not candidates:  # sub-lane embed dims (tiny/test models): no split
+        return 1
+    for groups in candidates:
+        # k, v (bf16-ish) + dk, dv (f32) panels per program
+        panel_bytes = n_k_pad * (embed // groups) * (2 + 2 + 4 + 4)
+        if panel_bytes <= 6 * 2**20:
+            return groups
+    return candidates[-1]
+
+
+def _packed_fwd_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, n_k: int, heads: int):
+    """One (batch, head-group, q-block) program over packed (T, E_g) panels."""
+    eg = q_ref.shape[-1]
+    d = eg // heads
+    k_all = k_ref[0]
+    v_all = v_ref[0]
+    q_all = q_ref[0]
+    tk_pad = k_all.shape[0]
+    col = None
+    if tk_pad != n_k:
+        col = jax.lax.broadcasted_iota(jnp.int32, (q_all.shape[0], tk_pad), dimension=1)
+    for h in range(heads):
+        sl = slice(h * d, (h + 1) * d)
+        qh = q_all[:, sl].astype(jnp.float32) * scale
+        kh = k_all[:, sl].astype(jnp.float32)
+        vh = v_all[:, sl].astype(jnp.float32)
+        scores = jax.lax.dot_general(
+            qh, kh, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        if col is not None:
+            scores = jnp.where(col < n_k, scores, -jnp.inf)
+        scores = scores - jnp.max(scores, axis=-1, keepdims=True)
+        probs = jnp.exp(scores)
+        denom = jnp.sum(probs, axis=-1, keepdims=True)
+        out = jax.lax.dot_general(
+            probs, vh, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        ) / denom
+        o_ref[0, :, sl] = out.astype(o_ref.dtype)
+
+
+def _packed_bwd_kernel(
+    q_ref, k_ref, v_ref, g_ref, o_ref, dq_ref, dk_ref, dv_ref, *, scale: float, n_k: int, heads: int
+):
+    """dq for the q-block; dk/dv accumulated across q-blocks (innermost grid)."""
+    i = pl.program_id(2)
+    eg = q_ref.shape[-1]
+    d = eg // heads
+
+    @pl.when(i == 0)
+    def _init():
+        dk_ref[0] = jnp.zeros_like(dk_ref[0])
+        dv_ref[0] = jnp.zeros_like(dv_ref[0])
+
+    tk_pad = k_ref.shape[1]
+    col = None
+    if tk_pad != n_k:
+        col = jax.lax.broadcasted_iota(jnp.int32, (q_ref.shape[1], tk_pad), dimension=1)
+    for h in range(heads):
+        sl = slice(h * d, (h + 1) * d)
+        qh = q_ref[0, :, sl].astype(jnp.float32)
+        kh = k_ref[0, :, sl].astype(jnp.float32)
+        vh = v_ref[0, :, sl].astype(jnp.float32)
+        gh = g_ref[0, :, sl].astype(jnp.float32)
+        oh = o_ref[0, :, sl].astype(jnp.float32)
+
+        scores = jax.lax.dot_general(
+            qh * scale, kh, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        if col is not None:
+            scores = jnp.where(col < n_k, scores, -jnp.inf)
+        scores = scores - jnp.max(scores, axis=-1, keepdims=True)
+        exp = jnp.exp(scores)
+        probs = exp / jnp.sum(exp, axis=-1, keepdims=True)
+
+        delta = jnp.sum(gh * oh, axis=-1, keepdims=True)
+        dprobs = jax.lax.dot_general(
+            gh, vh, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        dscores = probs * (dprobs - delta)
+
+        dq_ref[0, :, sl] = (
+            jax.lax.dot_general(
+                dscores, kh, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            )
+            * scale
+        ).astype(dq_ref.dtype)
+        dk_ref[0, :, sl] += (
+            jax.lax.dot_general(
+                dscores, qh, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            )
+            * scale
+        ).astype(dk_ref.dtype)
+        dv_ref[0, :, sl] += jax.lax.dot_general(
+            probs, gh, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        ).astype(dv_ref.dtype)
+
+
+def _packed_specs(block_q: int, n_k_pad: int, eg: int):
+    q_spec = pl.BlockSpec((1, block_q, eg), lambda b, j, i: (b, i, j), memory_space=pltpu.VMEM)
+    k_spec = pl.BlockSpec((1, n_k_pad, eg), lambda b, j, i: (b, 0, j), memory_space=pltpu.VMEM)
+    return q_spec, k_spec
+
+
+def _packed_forward(q, k, v, n_heads: int, block_q: int):
+    batch, n_q, embed = q.shape
+    n_k = k.shape[1]
+    head_dim = embed // n_heads
+    scale = head_dim**-0.5
+    n_k_pad = _round_up(n_k, 128)
+    groups = _pick_head_groups(n_heads, head_dim, embed, n_k_pad)
+    eg = embed // groups
+    # 7MB score budget: block 512 at the decoder shape overflowed the 16MB
+    # scoped-vmem limit by 0.6MB inside the full model
+    block_q = _auto_block_q(_round_up(n_q, 128), n_k_pad, block_q, budget=7 * 2**20)
+    n_q_pad = _round_up(n_q, block_q)
+
+    if n_q_pad != n_q:
+        q = jnp.pad(q, ((0, 0), (0, n_q_pad - n_q), (0, 0)))
+    if n_k_pad != n_k:
+        k = jnp.pad(k, ((0, 0), (0, n_k_pad - n_k), (0, 0)))
+        v = jnp.pad(v, ((0, 0), (0, n_k_pad - n_k), (0, 0)))
+
+    q_spec, k_spec = _packed_specs(block_q, n_k_pad, eg)
+    out = pl.pallas_call(
+        functools.partial(
+            _packed_fwd_kernel, scale=scale, n_k=n_k, heads=n_heads // groups
+        ),
+        out_shape=jax.ShapeDtypeStruct((batch, n_q_pad, embed), q.dtype),
+        grid=(batch, groups, n_q_pad // block_q),
+        in_specs=[q_spec, k_spec, k_spec],
+        out_specs=q_spec,
+        cost_estimate=pl.CostEstimate(
+            flops=4 * batch * n_q_pad * n_k_pad * embed,
+            bytes_accessed=(q.size + k.size + v.size) * q.dtype.itemsize,
+            transcendentals=batch * n_heads * n_q_pad * n_k_pad,
+        ),
+    )(q, k, v)
+    return out[:, :n_q]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def flash_attention_packed(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    n_heads: int,
+    block_q: int = DEFAULT_BLOCK_Q,
+) -> jnp.ndarray:
+    """Multi-head attention on packed (batch, tokens, embed) arrays.
+
+    Heads are split inside the kernel; no (B, T, H, D) array ever exists in
+    HBM (those are lane-padded up to 4x for head_dim 32).
+
+    Args:
+        q: (batch, n_q, embed).
+        k/v: (batch, n_k, embed).
+        n_heads: number of heads; embed % n_heads == 0.
+
+    Returns:
+        (batch, n_q, embed), dtype of q.
+    """
+    return _packed_forward(q, k, v, n_heads, block_q)
+
+
+def _packed_fwd_rule(q, k, v, n_heads, block_q):
+    out = _packed_forward(q, k, v, n_heads, block_q)
+    return out, (q, k, v, out)
+
+
+def _packed_bwd_rule(n_heads, block_q, residuals, g):
+    del block_q
+    q, k, v, out = residuals
+    batch, n_q, embed = q.shape
+    n_k = k.shape[1]
+    head_dim = embed // n_heads
+    scale = head_dim**-0.5
+    n_k_pad = _round_up(n_k, 128)
+    groups = _pick_head_groups(n_heads, head_dim, embed, n_k_pad)
+    eg = embed // groups
+    # the packed bwd keeps k/v/dk/dv panels + per-head score buffers live;
+    # halve the score budget vs the per-head kernel (28.9M scoped-vmem OOM
+    # at block 512, dec shape) 
+    block_q = _auto_block_q(
+        _round_up(n_q, 128), n_k_pad, DEFAULT_BLOCK_Q_BWD, budget=_SCORE_VMEM_BUDGET // 2
+    )
+    n_q_pad = _round_up(n_q, block_q)
+
+    def pad_t(x, t):
+        return jnp.pad(x, ((0, 0), (0, t - x.shape[1]), (0, 0))) if x.shape[1] != t else x
+
+    qt, gt, ot = (pad_t(x, n_q_pad) for x in (q, g, out))
+    kt, vt = (pad_t(x, n_k_pad) for x in (k, v))
+
+    q_spec, k_spec = _packed_specs(block_q, n_k_pad, eg)
+    dq, dk, dv = pl.pallas_call(
+        functools.partial(
+            _packed_bwd_kernel, scale=scale, n_k=n_k, heads=n_heads // groups
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((batch, n_q_pad, embed), q.dtype),
+            jax.ShapeDtypeStruct((batch, n_k_pad, embed), jnp.float32),
+            jax.ShapeDtypeStruct((batch, n_k_pad, embed), jnp.float32),
+        ),
+        grid=(batch, groups, n_q_pad // block_q),
+        in_specs=[q_spec, k_spec, k_spec, q_spec, q_spec],
+        out_specs=(q_spec, k_spec, k_spec),
+        cost_estimate=pl.CostEstimate(
+            flops=10 * batch * n_q_pad * n_k_pad * embed,
+            bytes_accessed=2 * (q.size + k.size + v.size) * 4,
+            transcendentals=batch * n_heads * n_q_pad * n_k_pad,
+        ),
+    )(qt, kt, vt, gt, ot)
+    return (
+        dq[:, :n_q],
+        dk[:, :n_k].astype(k.dtype),
+        dv[:, :n_k].astype(v.dtype),
+    )
+
+
+flash_attention_packed.defvjp(_packed_fwd_rule, _packed_bwd_rule)

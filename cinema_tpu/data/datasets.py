@@ -409,12 +409,31 @@ def collate(samples: List[Sample]) -> Sample:
     return out
 
 
+_WORKER_DATASET = None
+
+
+def _worker_init(dataset) -> None:
+    global _WORKER_DATASET
+    _WORKER_DATASET = dataset
+
+
+def _worker_get(args):
+    epoch, idx = args
+    if hasattr(_WORKER_DATASET, "set_epoch"):
+        _WORKER_DATASET.set_epoch(epoch)
+    return _WORKER_DATASET[int(idx)]
+
+
 class BatchLoader:
-    """Threaded prefetching batch iterator over a map-style dataset.
+    """Prefetching batch iterator over a map-style dataset.
 
     Replaces torch DataLoader: shuffle per epoch, drop_last for training,
     ``n_workers`` threads pipeline __getitem__ (IO-bound NIfTI reads release
-    the GIL in zlib/numpy).
+    the GIL in zlib/numpy). For CPU-bound augmentation pipelines (scipy
+    affine/zoom hold the GIL), ``use_processes=True`` runs workers in
+    spawned subprocesses (replacing torch DataLoader num_workers); the
+    dataset is shipped once at pool creation and the epoch rides with each
+    item request so seeded augmentations stay deterministic.
     """
 
     def __init__(
@@ -426,6 +445,7 @@ class BatchLoader:
         n_workers: int = 4,
         seed: int = 0,
         prefetch: int = 2,
+        use_processes: bool = False,
     ) -> None:
         self.dataset = dataset
         self.batch_size = batch_size
@@ -434,7 +454,27 @@ class BatchLoader:
         self.n_workers = max(1, n_workers)
         self.seed = seed
         self.prefetch = prefetch
+        self.use_processes = use_processes
         self._epoch = 0
+        self._pool = None
+
+    def _process_pool(self):
+        if self._pool is None:
+            import multiprocessing
+            from concurrent.futures import ProcessPoolExecutor
+
+            # spawn: forking after the TPU backend initializes can deadlock
+            self._pool = ProcessPoolExecutor(
+                self.n_workers,
+                mp_context=multiprocessing.get_context("spawn"),
+                initializer=_worker_init,
+                initargs=(self.dataset,),
+            )
+        return self._pool
+
+    def __del__(self):
+        if self._pool is not None:
+            self._pool.shutdown(wait=False, cancel_futures=True)
 
     def __len__(self) -> int:
         n = len(self.dataset)
@@ -455,7 +495,9 @@ class BatchLoader:
         if self.drop_last:
             batches = [b for b in batches if len(b) == self.batch_size]
 
-        if self.n_workers <= 1:
+        epoch = self._epoch - 1  # value used for this iteration's rngs
+
+        if self.n_workers <= 1 and not self.use_processes:
             for b in batches:
                 yield collate([self.dataset[int(i)] for i in b])
             return
@@ -465,14 +507,22 @@ class BatchLoader:
 
         def producer():
             try:
-                from concurrent.futures import ThreadPoolExecutor
-
-                with ThreadPoolExecutor(self.n_workers) as pool:
+                if self.use_processes:
+                    pool = self._process_pool()
                     for b in batches:
                         if stop.is_set():
                             return
-                        samples = list(pool.map(lambda i: self.dataset[int(i)], b))
+                        samples = list(pool.map(_worker_get, [(epoch, int(i)) for i in b]))
                         q.put(collate(samples))
+                else:
+                    from concurrent.futures import ThreadPoolExecutor
+
+                    with ThreadPoolExecutor(self.n_workers) as pool:
+                        for b in batches:
+                            if stop.is_set():
+                                return
+                            samples = list(pool.map(lambda i: self.dataset[int(i)], b))
+                            q.put(collate(samples))
             except Exception as e:  # surface worker errors to the consumer
                 q.put(e)
             finally:
@@ -632,3 +682,22 @@ class KaggleVideoDataset(SeededItemRNG):
             video = np.concatenate([video, pad], axis=0)
         data[f"{self.view}_image"] = video[..., None]  # (t, x, y[, z], 1)
         return data
+
+
+def device_prefetch(iterator, put_fn, depth: int = 2):
+    """Keep ``depth`` batches in flight on the device.
+
+    ``jax.device_put`` is asynchronous, so calling ``put_fn`` ahead of
+    consumption overlaps host->HBM transfer with the running step —
+    replacing the reference's synchronous per-step H2D copy
+    (reference mae/pretrain.py:252) and torch's pin_memory prefetch.
+    """
+    from collections import deque
+
+    buf = deque()
+    for item in iterator:
+        buf.append(put_fn(item))
+        if len(buf) >= depth:
+            yield buf.popleft()
+    while buf:
+        yield buf.popleft()

@@ -18,7 +18,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from cinema_tpu.config import Config
-from cinema_tpu.data.datasets import BatchLoader, UKBCineDataset
+from cinema_tpu.data.datasets import BatchLoader, UKBCineDataset, device_prefetch
 from cinema_tpu.data.transforms import get_pretrain_transforms
 from cinema_tpu.factory import get_mae_model
 from cinema_tpu.log import get_logger
@@ -83,6 +83,7 @@ def run(config: Config) -> None:
         drop_last=True,
         n_workers=config.train.get("n_workers_per_device", 8),
         seed=config.seed,
+        use_processes=bool(config.train.get("use_process_workers", False)),
     )
     steps_per_epoch = max(len(loader) // n_accum, 1)
 
@@ -131,10 +132,13 @@ def run(config: Config) -> None:
     for epoch in range(start_epoch, config.train.n_epochs):
         t0 = time.perf_counter()
         losses = []
-        for batch in loader:
-            device_batch = jax.device_put(
-                {v: jnp.asarray(batch[v]) for v in views}, batch_shardings({v: None for v in views}, mesh)
-            )
+        shardings = batch_shardings({v: None for v in views}, mesh)
+
+        def put(batch):
+            return jax.device_put({v: batch[v] for v in views}, shardings)
+
+        # two-deep host->HBM prefetch overlaps input transfer with the step
+        for device_batch in device_prefetch(iter(loader), put, depth=2):
             state, metrics = step_fn(state, device_batch, rng)
             losses.append(metrics["loss"])
         epoch_loss = float(np.mean([float(x) for x in losses])) if losses else float("nan")

@@ -18,7 +18,7 @@ import jax
 import numpy as np
 
 from cinema_tpu.config import Config, save_config
-from cinema_tpu.data.datasets import BatchLoader
+from cinema_tpu.data.datasets import BatchLoader, device_prefetch
 from cinema_tpu.log import get_logger
 from cinema_tpu.train.checkpoint import CheckpointRetention, save_checkpoint, save_params_safetensors
 from cinema_tpu.train.optim import EarlyStopping, build_optimizer, get_n_accum_steps
@@ -206,10 +206,13 @@ def run_train(
 
     for epoch in range(config.train.n_epochs):
         epoch_metrics: Dict[str, list] = {}
-        for batch in train_loader:
-            device_batch = {
-                k: jnp.asarray(v) for k, v in batch.items() if isinstance(v, np.ndarray)
-            }
+
+        def put(batch):
+            return jax.device_put(
+                {k: v for k, v in batch.items() if isinstance(v, np.ndarray)}
+            )
+
+        for device_batch in device_prefetch(iter(train_loader), put, depth=2):
             state, metrics = step_fn(state, device_batch, rng)
             for k, v in metrics.items():
                 epoch_metrics.setdefault(k, []).append(v)

@@ -346,3 +346,34 @@ def test_seeded_augmentations_reproducible(tmp_path):
     assert any(not np.array_equal(x, y) for x, y in zip(a, c))
     # epochs must differ from each other (epoch folds into the item rng)
     assert not np.array_equal(a[0], a[1])
+
+
+def test_process_workers_match_thread_workers(tmp_path):
+    """Spawned process workers must produce the same (seeded) batches as
+    in-process loading, epoch threading included."""
+    import pandas as pd
+
+    from cinema_tpu.data.datasets import BatchLoader, EDESSegmentationDataset
+
+    _write_edes_patient(tmp_path)
+    meta = pd.DataFrame({"pid": ["p0"], "n_slices": [3]})
+
+    def batches(use_processes):
+        ds = EDESSegmentationDataset(tmp_path, meta, views="sax")
+        ds.seed = 3
+        loader = BatchLoader(
+            ds, batch_size=2, shuffle=True, seed=3, n_workers=2, use_processes=use_processes
+        )
+        return [b["sax_image"] for _ in range(2) for b in loader]
+
+    for a, b in zip(batches(False), batches(True)):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_device_prefetch_order_and_depth():
+    from cinema_tpu.data.datasets import device_prefetch
+
+    puts = []
+    out = list(device_prefetch(iter(range(5)), lambda x: puts.append(x) or x * 10, depth=2))
+    assert out == [0, 10, 20, 30, 40]
+    assert puts == [0, 1, 2, 3, 4]

@@ -1,5 +1,9 @@
 """Tests for ConvUNetR, UNet, and ResNet baselines."""
 
+import pytest as _pytest
+
+pytestmark = _pytest.mark.slow  # full-model tier; fast tier runs -m "not slow"
+
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -3,6 +3,10 @@
 Runs on the 8-virtual-device CPU mesh from conftest.
 """
 
+import pytest as _pytest
+
+pytestmark = _pytest.mark.slow  # full-model tier; fast tier runs -m "not slow"
+
 import jax
 import jax.numpy as jnp
 import numpy as np

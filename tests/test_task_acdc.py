@@ -5,6 +5,10 @@ sliding-window eval + early stopping + orbax checkpointing + safetensors
 export, with a tiny ConvUNetR on the CPU mesh.
 """
 
+import pytest as _pytest
+
+pytestmark = _pytest.mark.slow  # full-model tier; fast tier runs -m "not slow"
+
 import json
 from pathlib import Path
 

@@ -1,5 +1,9 @@
 """Smoke tests for classification/regression/landmark tasks and the eval CLI."""
 
+import pytest as _pytest
+
+pytestmark = _pytest.mark.slow  # full-model tier; fast tier runs -m "not slow"
+
 from pathlib import Path
 
 import numpy as np

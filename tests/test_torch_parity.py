@@ -6,6 +6,10 @@ fixed masks, same inputs -> outputs must match to float32 tolerance. This is
 the offline proxy for the published-checkpoint parity gate.
 """
 
+import pytest as _pytest
+
+pytestmark = _pytest.mark.slow  # full-model tier; fast tier runs -m "not slow"
+
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -1,5 +1,9 @@
 """Tests for sliding-window ops, inference, losses, and metrics."""
 
+import pytest as _pytest
+
+pytestmark = _pytest.mark.slow  # full-model tier; fast tier runs -m "not slow"
+
 import jax
 import jax.numpy as jnp
 import numpy as np

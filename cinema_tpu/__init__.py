@@ -7,6 +7,7 @@ Public surface mirrors the reference package root (cinema/__init__.py:3-34).
 from cinema_tpu.constants import (
     ALL_VIEWS,
     BACKGROUND_LABEL,
+    LABEL_TO_NAME,
     LV_LABEL,
     MYO_LABEL,
     NORMAL_EF,
@@ -18,6 +19,7 @@ from cinema_tpu.constants import (
     UKB_SAX_SLICE_SIZE,
     UKB_SPACING,
 )
+from cinema_tpu.metrics import heatmap_soft_argmax
 from cinema_tpu.models.convunetr import ConvUNetR
 from cinema_tpu.models.convvit import ConvViT
 from cinema_tpu.models.mae import CineMA
@@ -31,6 +33,7 @@ __all__ = [
     "ConvUNetR",
     "ConvViT",
     "UNet",
+    "heatmap_soft_argmax",
     "patchify",
     "unpatchify",
     "UKB_SPACING",
@@ -40,6 +43,7 @@ __all__ = [
     "UKB_N_SUBJECTS",
     "ALL_VIEWS",
     "BACKGROUND_LABEL",
+    "LABEL_TO_NAME",
     "RV_LABEL",
     "MYO_LABEL",
     "LV_LABEL",

@@ -19,6 +19,7 @@ BACKGROUND_LABEL = 0
 RV_LABEL = 1
 MYO_LABEL = 2
 LV_LABEL = 3
+LABEL_TO_NAME = {RV_LABEL: "RV", MYO_LABEL: "MYO", LV_LABEL: "LV"}
 
 # canonical view names
 VIEW_SAX = "sax"

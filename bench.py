@@ -171,12 +171,19 @@ def bench_seg_latency() -> dict:
 
 
 def bench_serving() -> dict:
-    """50-frame cine segmentation, frames chunked to bound activation memory
-    (conv-stem activations are ~190MB/frame at base scale)."""
+    """50-frame cine segmentation, frames chunked to bound activation memory.
+
+    chunk=8: bf16 tiles have 16 sublanes and the decoder's finest tensors
+    put batch in sublanes — chunk 10 pads to 16 (measured 23.6 frames/s)
+    while 8 (and 16) reach ~31 frames/s on v5e. The tail chunk reuses the
+    same compiled shape by padding to 8."""
     config, model, params = _build_convunetr(jnp.bfloat16)
-    chunk = 10
+    chunk = 8
     video = np.random.default_rng(0).random((50, 192, 192, 16, 1), dtype=np.float32)
-    chunks = [jnp.asarray(video[i : i + chunk]) for i in range(0, 50, chunk)]
+    n_pad = (-len(video)) % chunk
+    if n_pad:
+        video = np.concatenate([video, video[:n_pad]], axis=0)
+    chunks = [jnp.asarray(video[i : i + chunk]) for i in range(0, len(video), chunk)]
     fn = jax.jit(
         lambda p, v: jnp.argmax(model.apply(p, {"sax": v})["sax"], axis=-1).astype(jnp.uint8)
     )

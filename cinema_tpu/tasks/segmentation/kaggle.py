@@ -28,6 +28,9 @@ logger = get_logger(__name__)
 MAX_N_FRAMES = 30  # reference kaggle/eval.py MAX_N_FRAMES
 
 
+VIDEO_CHUNK = 8  # fills the bf16 sublane tile; bounds decoder activations
+
+
 def video_lv_volumes(
     forward,
     params: Any,
@@ -37,12 +40,23 @@ def video_lv_volumes(
 ) -> np.ndarray:
     """Per-frame LV volume (ml) from batched segmentation.
 
+    Frames run in chunks of 8: the decoder's finest tensors keep batch in
+    sublanes (chunk 10 pads to 16 — measured 24 vs 31 frames/s on v5e) and
+    one 50-frame forward exceeds device memory at base scale.
+
     Args:
         video: (t, *spatial, 1) padded frames.
         n_frames: number of valid frames.
     """
-    logits = forward(params, {"sax": video})["sax"]
-    pred = np.asarray(jnp.argmax(logits, axis=-1))  # (t, *spatial)
+    video = np.asarray(video)
+    n_pad = (-len(video)) % VIDEO_CHUNK
+    if n_pad:
+        video = np.concatenate([video, video[:n_pad]], axis=0)
+    preds = []
+    for i in range(0, len(video), VIDEO_CHUNK):
+        logits = forward(params, {"sax": jnp.asarray(video[i : i + VIDEO_CHUNK])})["sax"]
+        preds.append(np.asarray(jnp.argmax(logits, axis=-1)))
+    pred = np.concatenate(preds, axis=0)  # (t, *spatial)
     voxel_ml = float(np.prod(np.asarray(spacing))) / 1000.0
     volumes = (pred == LV_LABEL).reshape(pred.shape[0], -1).sum(axis=1) * voxel_ml
     return volumes[:n_frames]

@@ -117,7 +117,9 @@ def edes_seg_eval(config: Config, split: str, out_dir: Path, model, params, metr
     rows: List[Dict] = []
     for batch in loader:
         _, metrics = segmentation_eval_batch(
-            forward, params, batch, patch_size_dict, spacing_dict, metrics_fn or segmentation_metrics
+            forward, params, batch, patch_size_dict, spacing_dict,
+            metrics_fn or segmentation_metrics,
+            z_bucket=config.get("eval", {}).get("z_bucket", 4),
         )
         metrics["pid"] = batch["pid"][0]
         metrics["is_ed"] = bool(np.asarray(batch["is_ed"]).reshape(-1)[0])
@@ -158,7 +160,8 @@ def rescan_seg_eval(config: Config, split: str, out_dir: Path, model, params) ->
     rows: List[Dict] = []
     for batch in loader:
         _, metrics = segmentation_eval_batch(
-            forward, params, batch, patch_size_dict, spacing_dict, segmentation_metrics
+            forward, params, batch, patch_size_dict, spacing_dict, segmentation_metrics,
+            z_bucket=config.get("eval", {}).get("z_bucket", 4),
         )
         metrics["pid"] = batch["pid"][0]
         metrics["frame"] = int(np.asarray(batch["frame"]).reshape(-1)[0])

@@ -67,11 +67,31 @@ def segmentation_eval_batch(
     spacing_dict: Dict[str, tuple],
     metrics_fn: Optional[Callable] = segmentation_metrics,
     aggregation: str = "softmax",
+    z_bucket: Optional[int] = None,
 ) -> Tuple[Dict[str, jnp.ndarray], Dict[str, float]]:
     """Evaluate one (batch=1) study: sliding window -> crop padding -> metrics
-    (reference segmentation/train.py:289-358)."""
+    (reference segmentation/train.py:289-358).
+
+    z_bucket: when set, 3D views are zero-padded so the slice count is a
+    multiple of the bucket — studies in the same bucket share ONE compiled
+    sliding-window program instead of recompiling per distinct slice count
+    (minutes each on TPU). Predictions are cropped back before metrics;
+    window positions near the z end shift slightly vs the unbucketed grid
+    (sub-0.1%-Dice-level boundary-averaging drift). Pass None for the
+    reference's exact per-shape grids.
+    """
     views = list(patch_size_dict.keys())
     image_dict = {v: jnp.asarray(batch[f"{v}_image"]) for v in views}
+    if z_bucket:
+        for v in views:
+            if len(patch_size_dict[v]) != 3:
+                continue
+            z = image_dict[v].shape[3]
+            z_pad = max(patch_size_dict[v][2], -(-z // z_bucket) * z_bucket)
+            if z_pad != z:
+                image_dict[v] = jnp.pad(
+                    image_dict[v], ((0, 0), (0, 0), (0, 0), (0, z_pad - z), (0, 0))
+                )
     logits_dict = sliding_window_forward(
         lambda imgs: forward(params, imgs), image_dict, patch_size_dict, aggregation
     )
@@ -127,11 +147,13 @@ def segmentation_eval_dataloader(
 ) -> Dict[str, float]:
     """Mean metrics over a batch-1 loader (reference segmentation/train.py:361-400)."""
     patch_size_dict, spacing_dict = patch_and_spacing_dicts(config)
+    z_bucket = config.get("eval", {}).get("z_bucket", 4)
     forward = make_seg_forward(model)
     all_metrics: Dict[str, List[float]] = {}
     for batch in dataloader:
         _, metrics = segmentation_eval_batch(
-            forward, params, batch, patch_size_dict, spacing_dict, metrics_fn, aggregation
+            forward, params, batch, patch_size_dict, spacing_dict, metrics_fn, aggregation,
+            z_bucket=z_bucket,
         )
         for k, v in metrics.items():
             all_metrics.setdefault(k, []).append(v)

@@ -302,3 +302,48 @@ def test_classification_loss_smoothing():
         label_smoothing=0.1,
     ).item()
     assert float(loss) == pytest.approx(want, rel=1e-5)
+
+
+def test_eval_z_bucketing_shares_shapes_and_matches():
+    """z-bucketed eval must produce near-identical metrics and feed the
+    forward identical padded shapes for nearby slice counts."""
+    import numpy as np
+
+    from cinema_tpu.tasks.segmentation import segmentation_eval_batch
+
+    rng = np.random.default_rng(0)
+    seen_shapes = []
+
+    def fake_forward(params, image_dict):
+        img = image_dict["sax"]
+        seen_shapes.append(tuple(img.shape))
+        return {"sax": jnp.concatenate([img, -img], axis=-1)}  # 2-class logits
+
+    def make_batch(z):
+        img = rng.random((1, 16, 16, z, 1)).astype(np.float32)
+        return {
+            "sax_image": img,
+            "sax_label": (img[..., 0] > 0.5).astype(np.int8),
+            "sax_width": np.asarray([16]),
+            "sax_height": np.asarray([16]),
+            "n_slices": np.asarray([z]),
+        }
+
+    patch = {"sax": (16, 16, 4)}
+    spacing = {"sax": (1.0, 1.0, 10.0)}
+    from cinema_tpu.metrics import segmentation_metrics
+
+    b5, b6 = make_batch(5), make_batch(6)
+    _, m5 = segmentation_eval_batch(fake_forward, None, b5, patch, spacing, segmentation_metrics, z_bucket=4)
+    shapes_b5 = list(seen_shapes)
+    seen_shapes.clear()
+    _, m6 = segmentation_eval_batch(fake_forward, None, b6, patch, spacing, segmentation_metrics, z_bucket=4)
+    # both bucket to z=8 -> identical patch-stack shapes -> one compilation
+    assert shapes_b5 == seen_shapes
+
+    # unbucketed metrics must be close (boundary-averaging drift only)
+    _, m5_exact = segmentation_eval_batch(fake_forward, None, b5, patch, spacing, segmentation_metrics)
+    for k in m5:
+        if "hausdorff" in k:
+            continue
+        np.testing.assert_allclose(m5[k], m5_exact[k], atol=0.05, err_msg=k)

@@ -376,3 +376,147 @@ class CineMA(nn.Module):
             losses.append(F.mse_loss(pred, target))
         loss = sum(losses) / len(losses)
         return loss, preds
+
+
+# ------------------------------------------------------------- ConvUNetR
+def conv_transpose_nd(nd):
+    return nn.ConvTranspose2d if nd == 2 else nn.ConvTranspose3d
+
+
+class UpsampleDecoder(nn.Module):
+    """Mirrors cinema_tpu.models.convunetr.UpsampleDecoder (reference
+    convunetr.py:25-106): transpose-conv up + residual blocks, additive skips."""
+
+    def __init__(self, nd, chans, patch_size, scale_factor, n_blocks=2, kernel_size=3):
+        super().__init__()
+        chans = tuple(chans)
+        chans_rev = chans[::-1]
+        blocks = []
+        for i, ch in enumerate(chans_rev):
+            up_kernel = tuple(patch_size) if i == len(chans) - 1 else tuple(scale_factor)
+            out_chans = chans[-i - 2] if i < len(chans) - 1 else ch
+            block = nn.Module()
+            block.up = conv_transpose_nd(nd)(ch, out_chans, kernel_size=up_kernel, stride=up_kernel)
+            block.conv = nn.ModuleList(
+                [ConvResBlock(nd, out_chans, out_chans, kernel_size) for _ in range(n_blocks)]
+            )
+            blocks.append(block)
+        self.blocks = nn.ModuleList(blocks)
+
+    def forward(self, embeddings):
+        embeddings = list(embeddings)
+        x = embeddings.pop()
+        for block in self.blocks:
+            x = block.up(x)
+            skip = embeddings.pop()
+            if skip is not None:
+                x = x + skip
+            for conv in block.conv:
+                x = conv(x)
+        return x
+
+
+class ConvUNetR(nn.Module):
+    """Mirrors cinema_tpu.models.convunetr.ConvUNetR (reference
+    convunetr.py:213-485) with the published checkpoint's module names."""
+
+    def __init__(
+        self,
+        image_size_dict,
+        in_chans_dict,
+        out_chans,
+        enc_patch_size_dict,
+        enc_scale_factor_dict,
+        enc_conv_chans,
+        enc_conv_n_blocks,
+        enc_embed_dim,
+        enc_depth,
+        enc_n_heads,
+        dec_chans,
+        dec_patch_size_dict,
+        dec_scale_factor_dict,
+        n_layers_wo_skip,
+        n_downsample_layers,
+    ):
+        super().__init__()
+        self.views = list(image_size_dict.keys())
+        self.n_layers_wo_skip = n_layers_wo_skip
+        self.grid_size_dict = {}
+
+        self.enc_down_dict = nn.ModuleDict()
+        for v in self.views:
+            self.enc_down_dict[v] = DownsampleEncoder(
+                image_size_dict[v],
+                in_chans_dict[v],
+                enc_patch_size_dict[v],
+                enc_scale_factor_dict[v],
+                enc_conv_chans,
+                enc_conv_n_blocks,
+                enc_embed_dim,
+            )
+            self.grid_size_dict[v] = self.enc_down_dict[v].patch_embed.grid_size
+        self.encoder = ViTEncoder(enc_embed_dim, enc_depth, enc_n_heads)
+
+        self.dec_image_conv_block_dict = nn.ModuleDict()
+        self.dec_down_blocks_dict = nn.ModuleDict()
+        self.dec_conv_blocks_dict = nn.ModuleDict()
+        self.decoder_dict = nn.ModuleDict()
+        self.pred_head_dict = nn.ModuleDict()
+        for v in self.views:
+            nd = len(image_size_dict[v])
+            self.dec_image_conv_block_dict[v] = ConvResBlock(nd, in_chans_dict[v], dec_chans[0])
+            self.dec_down_blocks_dict[v] = nn.ModuleList(
+                [
+                    conv_nd(nd)(
+                        enc_embed_dim,
+                        enc_embed_dim,
+                        kernel_size=tuple(dec_scale_factor_dict[v]),
+                        stride=tuple(dec_scale_factor_dict[v]),
+                    )
+                    for _ in range(n_downsample_layers)
+                ]
+            )
+            adapters = []
+            skip_chans = list(enc_conv_chans) + [enc_embed_dim] * (n_downsample_layers + 1)
+            for i, in_ch in enumerate(skip_chans):
+                adapters.append(ConvResBlock(nd, in_ch, dec_chans[n_layers_wo_skip + i]))
+            self.dec_conv_blocks_dict[v] = nn.ModuleList(adapters)
+            self.decoder_dict[v] = UpsampleDecoder(
+                nd, dec_chans, dec_patch_size_dict[v], dec_scale_factor_dict[v]
+            )
+            self.pred_head_dict[v] = conv_nd(nd)(dec_chans[0], out_chans, kernel_size=1)
+
+    def forward(self, image_dict):
+        xs, skips, ns = [], [], []
+        for v in self.views:
+            skips_v, x_v = self.enc_down_dict[v](image_dict[v], None)
+            skips.append(skips_v)
+            xs.append(x_v)
+            ns.append(x_v.shape[1])
+
+        x = self.encoder(torch.cat(xs, dim=1))
+        bounds = np.cumsum([1] + ns).tolist()
+        xs = [x[:, s:e] for s, e in zip([0] + bounds[:-1], bounds)][1:]  # drop cls
+
+        preds = {}
+        for i, v in enumerate(self.views):
+            grid = self.grid_size_dict[v]
+            batch, _, dim = xs[i].shape
+            # tokens are row-major over the grid: (b, n, e) -> (b, e, *grid)
+            nd = len(grid)
+            x_v = xs[i].reshape(batch, *grid, dim)
+            x_v = x_v.permute(0, nd + 1, *range(1, nd + 1)).contiguous()
+
+            skips_v = list(skips[i]) + [x_v]
+            for block in self.dec_down_blocks_dict[v]:
+                x_v = block(x_v)
+                skips_v.append(x_v)
+
+            embeddings = [self.dec_image_conv_block_dict[v](image_dict[v])]
+            embeddings += [None] * self.n_layers_wo_skip
+            for j, block in enumerate(self.dec_conv_blocks_dict[v]):
+                embeddings.append(block(skips_v[j]))
+
+            out = self.decoder_dict[v](embeddings)
+            preds[v] = self.pred_head_dict[v](out)
+        return preds

@@ -127,6 +127,77 @@ def clip_and_normalise_intensity(
     return x.astype(np.float32)
 
 
+def process_4d(array: np.ndarray, func) -> np.ndarray:
+    """Apply a 3D function frame-wise over the trailing time axis
+    (reference sitk.py:141-168).
+
+    Args:
+        array: (x, y, z, t).
+        func: maps a (x, y, z) array to a processed array.
+
+    Returns:
+        stacked processed frames, shape (..., t).
+    """
+    if array.ndim != 4:
+        raise ValueError(f"Array should have 4 dimensions, got {array.shape}.")
+    return np.stack([func(array[..., t]) for t in range(array.shape[-1])], axis=-1)
+
+
+def get_center_pad_size(
+    current_size: Sequence[int],
+    target_size: Sequence[int],
+) -> Tuple[Tuple[int, ...], Tuple[int, ...]]:
+    """Symmetric pad sizes reaching at least ``target_size``
+    (reference sitk.py:303-328).
+
+    Returns:
+        (pad_lower, pad_upper) per axis; zero where already large enough.
+    """
+    pad_lower, pad_upper = [], []
+    for i, size_i in enumerate(current_size):
+        pad_i = max(int(target_size[i]) - int(size_i), 0)
+        pad_lower.append(pad_i // 2)
+        pad_upper.append(pad_i - pad_i // 2)
+    return tuple(pad_lower), tuple(pad_upper)
+
+
+def center_pad(
+    array: np.ndarray,
+    target_size: Sequence[int],
+    value: float = 0,
+) -> np.ndarray:
+    """Symmetrically pad the leading spatial axes to ``target_size``
+    (reference pad_4d / sitk.ConstantPad usage, sitk.py:330-353).
+
+    Trailing axes beyond ``len(target_size)`` (time/channels) are untouched.
+    """
+    n = len(target_size)
+    pad_lower, pad_upper = get_center_pad_size(array.shape[:n], target_size)
+    pads = list(zip(pad_lower, pad_upper)) + [(0, 0)] * (array.ndim - n)
+    return np.pad(array, pads, constant_values=value)
+
+
+def get_invalid_bounding_box(mask: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """All -1 sentinel bbox for missing/empty labels (reference sitk.py:519-535)."""
+    ndim_spatial = mask.ndim
+    return -np.ones(ndim_spatial, np.int32), -np.ones(ndim_spatial, np.int32)
+
+
+def get_valid_binary_mask_bounding_box(
+    mask: np.ndarray,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Foreground bbox as [start, end) per axis via per-axis max reduction
+    (reference sitk.py:537-561); the full range when the mask is empty,
+    matching the reference's argmax semantics.
+    """
+    bbox_min, bbox_max = [], []
+    for axis in range(mask.ndim):
+        reduced = np.amax(mask, axis=tuple(a for a in range(mask.ndim) if a != axis))
+        bbox_min.append(int(np.argmax(reduced)))
+        bbox_max.append(int(reduced.shape[0] - np.argmax(np.flip(reduced))))
+    return np.asarray(bbox_min), np.asarray(bbox_max)
+
+
 def cast_to_uint8(array: np.ndarray) -> np.ndarray:
     """Rescale to [0, 255] and cast (reference sitk.py:452-466)."""
     x = array.astype(np.float64)

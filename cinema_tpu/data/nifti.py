@@ -24,6 +24,10 @@ from typing import BinaryIO, Optional, Sequence, Tuple, Union
 
 import numpy as np
 
+from cinema_tpu.log import get_logger
+
+logger = get_logger(__name__)
+
 _DTYPES = {
     2: np.dtype(np.uint8),
     4: np.dtype(np.int16),
@@ -223,3 +227,46 @@ def save_nifti(
         f.write(bytes(header))
         f.write(b"\x00\x00\x00\x00")  # extension flag
         f.write(payload)
+
+
+def save_nifti_like(
+    array: np.ndarray,
+    reference_image_path: Optional[Union[str, Path]],
+    out_path: Union[str, Path],
+) -> None:
+    """Save an array copying geometry from a reference NIfTI
+    (reference sitk.py save_image, sitk.py:662-713).
+
+    Semantics match the reference:
+    - 4D reference + 3D array: use the reference's first frame geometry
+      (rescan data).
+    - frame-count mismatch on the last axis: clamp BOTH to the shorter
+      length (Kaggle studies with >30 frames), error-logged.
+    - any remaining size mismatch raises.
+    """
+    out_path = Path(out_path)
+    out_path.parent.mkdir(parents=True, exist_ok=True)
+    if reference_image_path is None:
+        save_nifti(out_path, array)
+        return
+    ref = load_nifti_header(reference_image_path)
+    ref_shape = tuple(ref.shape)
+    if len(ref_shape) == 4 and array.ndim == 3:
+        ref_shape = ref_shape[:3]
+    if ref_shape != array.shape:
+        logger.error(
+            f"Reference image {reference_image_path} has different size from "
+            f"the input image, {ref_shape} != {array.shape}"
+        )
+        min_size = min(ref_shape[-1], array.shape[-1])
+        ref_shape = ref_shape[:-1] + (min_size,)
+        array = array[..., :min_size]
+    if ref_shape != array.shape:
+        raise ValueError(
+            f"Reference image {reference_image_path} has different size from "
+            f"the input image, {ref_shape} != {array.shape}"
+        )
+    spacing = tuple(ref.spacing[: array.ndim])
+    if len(spacing) < array.ndim:
+        spacing = spacing + (1.0,) * (array.ndim - len(spacing))
+    save_nifti(out_path, array, spacing=spacing, affine=ref.affine)

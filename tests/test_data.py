@@ -377,3 +377,72 @@ def test_device_prefetch_order_and_depth():
     out = list(device_prefetch(iter(range(5)), lambda x: puts.append(x) or x * 10, depth=2))
     assert out == [0, 10, 20, 30, 40]
     assert puts == [0, 1, 2, 3, 4]
+
+
+def test_process_4d_and_center_pad():
+    from cinema_tpu.data.geometry import center_pad, get_center_pad_size, process_4d
+
+    arr = np.arange(2 * 3 * 4 * 5, dtype=np.float32).reshape(2, 3, 4, 5)
+    doubled = process_4d(arr, lambda frame: frame * 2)
+    np.testing.assert_array_equal(doubled, arr * 2)
+    with pytest.raises(ValueError):
+        process_4d(arr[..., 0], lambda f: f)
+
+    lower, upper = get_center_pad_size((5, 8), (8, 8))
+    assert lower == (1, 0) and upper == (2, 0)
+
+    # trailing time axis untouched; symmetric split like sitk.ConstantPad
+    padded = center_pad(np.ones((5, 8, 3, 2)), (8, 8, 4))
+    assert padded.shape == (8, 8, 4, 2)
+    assert padded[0].sum() == 0 and padded[1:6, :, :3].sum() == 5 * 8 * 3 * 2
+
+
+def test_valid_and_invalid_bounding_box():
+    from cinema_tpu.data.geometry import (
+        get_invalid_bounding_box,
+        get_valid_binary_mask_bounding_box,
+    )
+
+    mask = np.zeros((6, 7, 8), dtype=bool)
+    mask[2:4, 1:6, 5] = True
+    bbox_min, bbox_max = get_valid_binary_mask_bounding_box(mask)
+    np.testing.assert_array_equal(bbox_min, [2, 1, 5])
+    np.testing.assert_array_equal(bbox_max, [4, 6, 6])
+
+    inv_min, inv_max = get_invalid_bounding_box(mask)
+    np.testing.assert_array_equal(inv_min, [-1, -1, -1])
+    np.testing.assert_array_equal(inv_max, [-1, -1, -1])
+
+
+def test_save_nifti_like(tmp_path):
+    from cinema_tpu.data.nifti import save_nifti_like
+
+    rng = np.random.default_rng(3)
+    ref = rng.normal(size=(6, 5, 4, 9)).astype(np.float32)
+    ref_path = tmp_path / "ref.nii.gz"
+    save_nifti(ref_path, ref, spacing=(1.0, 1.25, 10.0, 1.0))
+
+    # same-size 4D: geometry copied
+    out_path = tmp_path / "out.nii.gz"
+    save_nifti_like(np.ones_like(ref), ref_path, out_path)
+    back, header = load_nifti(out_path)
+    assert back.shape == (6, 5, 4, 9)
+    np.testing.assert_allclose(header.spacing[:3], (1.0, 1.25, 10.0), rtol=1e-6)
+
+    # 3D array against 4D reference (rescan): first-frame geometry
+    out3d = tmp_path / "out3d.nii.gz"
+    save_nifti_like(np.ones((6, 5, 4), np.float32), ref_path, out3d)
+    assert load_nifti(out3d)[0].shape == (6, 5, 4)
+
+    # frame-count mismatch: clamp to the shorter length (Kaggle semantics)
+    out_clamped = tmp_path / "clamped.nii.gz"
+    save_nifti_like(np.ones((6, 5, 4, 12), np.float32), ref_path, out_clamped)
+    assert load_nifti(out_clamped)[0].shape == (6, 5, 4, 9)
+
+    # incompatible spatial shape raises
+    with pytest.raises(ValueError):
+        save_nifti_like(np.ones((7, 5, 4, 9), np.float32), ref_path, tmp_path / "bad.nii.gz")
+
+    # no reference: plain save
+    save_nifti_like(np.ones((6, 5, 4), np.float32), None, tmp_path / "noref.nii.gz")
+    assert load_nifti(tmp_path / "noref.nii.gz")[0].shape == (6, 5, 4)

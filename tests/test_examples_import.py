@@ -14,12 +14,12 @@ from pathlib import Path
 import pytest
 
 EXAMPLES_DIR = Path(__file__).resolve().parents[1] / "examples"
-SCRIPTS = sorted(EXAMPLES_DIR.glob("*/*.py"))
+SCRIPTS = sorted(EXAMPLES_DIR.glob("*/*.py")) + sorted(EXAMPLES_DIR.glob("*.py"))
 
 
 def test_examples_present():
-    # 12 inference + 4 train scripts (see examples/README context in repo)
-    assert len(SCRIPTS) == 16, [p.name for p in SCRIPTS]
+    # 12 inference + 4 train scripts + root cine_cmr.py (reference surface)
+    assert len(SCRIPTS) == 17, [p.name for p in SCRIPTS]
 
 
 @pytest.mark.parametrize("script", SCRIPTS, ids=lambda p: f"{p.parent.name}/{p.stem}")

@@ -68,6 +68,7 @@ class DownsampleEncoder(nn.Module):
     conv_n_blocks: int
     embed_dim: int
     norm: str = "layer"
+    sparse_masking: bool = False
     dtype: Dtype = jnp.float32
 
     @property
@@ -132,6 +133,12 @@ class DownsampleEncoder(nn.Module):
         image_size = image.shape[1:-1]
         grid_size = tuple(s // p for s, p in zip(image_size, self.eff_patch_size))
 
+        if mask is not None and self.sparse_masking and self.norm == "layer":
+            # visible-cells-only stem (exact for per-position norms; see
+            # ops/sparse_cells.py): returns sparse skips (batch, k, *cell, C)
+            # and tokens already gathered to (batch, k, E)
+            return self._sparse_forward(image, grid_size, mask, deterministic)
+
         if mask is None:
             conv_masks: List[Optional[jnp.ndarray]] = [None] * len(self.conv_chans)
         else:
@@ -158,6 +165,42 @@ class DownsampleEncoder(nn.Module):
         pos_embed = get_nd_sincos_pos_embed(self.embed_dim, self.patch_embed.grid_size)[None]
         pos_embed = interpolate_pos_embed(pos_embed, self.patch_embed.grid_size, grid_size)
         x = x + jnp.asarray(pos_embed, dtype=x.dtype)
+        return skips, x
+
+    def _sparse_forward(
+        self,
+        image: jnp.ndarray,
+        grid_size: Tuple[int, ...],
+        mask: PatchMask,
+        deterministic: bool,
+    ) -> Tuple[List[jnp.ndarray], jnp.ndarray]:
+        """Run the stem on visible cells only (mask ratio r => 1-r of the
+        dense FLOPs/HBM traffic). Every conv except the depthwise has
+        kernel == stride aligned to cell boundaries, so cells are
+        independent; MaskedConvBlock densifies around its dw conv via
+        CellDenseCtx, whose scatter-zeros reproduce the reference's
+        mask-multiply semantics exactly (reference conv.py:385-390)."""
+        from cinema_tpu.ops.sparse_cells import CellDenseCtx, gather_cells, image_to_cells
+
+        cells = image_to_cells(image, grid_size)
+        vis = gather_cells(cells, mask.keep_ids)
+        batch, n_keep = vis.shape[:2]
+        x = vis.reshape(batch * n_keep, *vis.shape[2:])
+        ctx = CellDenseCtx(grid_size=grid_size, keep_ids=mask.keep_ids)
+
+        skips = []
+        for block in self.conv_blocks:
+            x = block["patch_embed"](x)
+            for conv in block["conv"]:
+                x = conv(x, None, deterministic, dense_ctx=ctx)
+            skips.append(x.reshape(batch, n_keep, *x.shape[1:]))
+
+        x = self.linear(self.patch_embed(x))  # (batch*k, 1, E)
+        x = x.reshape(batch, n_keep, self.embed_dim)
+        pos_embed = get_nd_sincos_pos_embed(self.embed_dim, self.patch_embed.grid_size)[None]
+        pos_embed = interpolate_pos_embed(pos_embed, self.patch_embed.grid_size, grid_size)
+        pos = jnp.asarray(pos_embed, dtype=x.dtype)[0]  # (n_cells, E)
+        x = x + jnp.take(pos, mask.keep_ids, axis=0)
         return skips, x
 
 
@@ -197,12 +240,22 @@ class MultiScaleFusion(nn.Module):
         x: jnp.ndarray,
         mask: Optional[PatchMask] = None,
     ) -> jnp.ndarray:
-        """skips: conv features; x: (batch, n_keep, E) ViT tokens (no cls)."""
+        """skips: conv features, dense (batch, *size_i, C_i) or sparse
+        visible cells (batch, k, *cell_i, C_i); x: (batch, n_keep, E) ViT
+        tokens (no cls)."""
+        nd = len(self.image_size)
         for skip, conv in zip(skips, self.down_convs):
-            down = conv(skip)
-            down = down.reshape(down.shape[0], -1, down.shape[-1])
-            if mask is not None:
-                down = gather_tokens(down, mask.keep_ids)
+            if skip.ndim == nd + 3:
+                # sparse cells: the down conv (kernel == stride == cell size)
+                # maps each cell to exactly one token — no gather needed
+                batch, n_keep = skip.shape[:2]
+                down = conv(skip.reshape(batch * n_keep, *skip.shape[2:]))
+                down = down.reshape(batch, n_keep, self.embed_dim)
+            else:
+                down = conv(skip)
+                down = down.reshape(down.shape[0], -1, down.shape[-1])
+                if mask is not None:
+                    down = gather_tokens(down, mask.keep_ids)
             x = x + down
         return self.norm(x)
 

@@ -351,7 +351,15 @@ class MaskedConvBlock(nn.Module):
         x: jnp.ndarray,
         mask: Optional[jnp.ndarray] = None,
         deterministic: bool = True,
+        dense_ctx=None,
     ) -> jnp.ndarray:
+        """When ``dense_ctx`` (ops.sparse_cells.CellDenseCtx) is given, ``x``
+        is visible-cells-only (batch*k, *cell, C); the depthwise conv — the
+        only cross-cell op — runs densely via densify/sparsify, with the
+        scatter's zeros at masked cells playing the mask-multiply's role
+        (``mask`` must be None then)."""
+        if dense_ctx is not None and mask is not None:
+            raise ValueError("mask and dense_ctx are mutually exclusive.")
         nd = x.ndim - 2
         chans = x.shape[-1]
         one = (1,) * nd
@@ -359,6 +367,8 @@ class MaskedConvBlock(nn.Module):
         h = Conv(chans, one, padding="VALID", dtype=self.dtype, name="conv1")(h)
         if mask is not None:
             h = h * mask[..., None].astype(h.dtype)
+        if dense_ctx is not None:
+            h = dense_ctx.densify(h)
         h = Conv(
             chans,
             (5,) * nd,
@@ -367,6 +377,8 @@ class MaskedConvBlock(nn.Module):
             dtype=self.dtype,
             name="dw_conv",
         )(h)
+        if dense_ctx is not None:
+            h = dense_ctx.sparsify(h)
         h = Conv(chans, one, padding="VALID", dtype=self.dtype, name="conv2")(h)
         x = x + DropPath(self.drop_path, name="drop_path1")(h, deterministic)
         h = get_conv_norm(self.norm, n_chans=chans, name="norm2")(x)

@@ -140,6 +140,9 @@ class CineMA(nn.Module):
     mlp_type: str = "mlp"
     attn_impl: str = "auto"
     remat: bool = False
+    # run stems on visible cells only during masked training (exact for
+    # per-position norms — see ops/sparse_cells.py; auto-disabled otherwise)
+    sparse_masking: bool = True
     dtype: Dtype = jnp.float32
 
     @property
@@ -164,6 +167,7 @@ class CineMA(nn.Module):
                 conv_n_blocks=self.enc_conv_n_blocks,
                 embed_dim=self.enc_embed_dim,
                 norm=self.norm,
+                sparse_masking=self.sparse_masking,
                 dtype=self.dtype,
             )
             for view in self.views
@@ -297,7 +301,10 @@ class CineMA(nn.Module):
         for view in views:
             mask = mask_dict[view]
             skip_view, x_view = self.enc_down_dict[view](image_dict[view], mask, deterministic)
-            x_view = gather_tokens(x_view, mask.keep_ids)
+            if x_view.shape[1] != mask.n_keep:
+                # dense stem path returns full-grid tokens; the sparse path
+                # (sparse_masking) already gathered to visible tokens
+                x_view = gather_tokens(x_view, mask.keep_ids)
             skips_view.append(skip_view)
             ns_keep.append(x_view.shape[1])
             ns_masked.append(mask.n_masked)

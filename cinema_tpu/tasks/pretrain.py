@@ -21,7 +21,7 @@ from cinema_tpu.config import Config
 from cinema_tpu.data.datasets import BatchLoader, UKBCineDataset, device_prefetch
 from cinema_tpu.data.transforms import get_pretrain_transforms
 from cinema_tpu.factory import get_mae_model
-from cinema_tpu.log import get_logger
+from cinema_tpu.log import get_logger, init_run_dir
 from cinema_tpu.parallel.mesh import batch_shardings, make_mesh
 from cinema_tpu.tasks.cli import task_main
 from cinema_tpu.train.checkpoint import (
@@ -116,8 +116,8 @@ def run(config: Config) -> None:
         model, tx, config.train.enc_mask_ratio, mesh=mesh, state_shardings=shardings
     )
 
-    out_dir = Path(config.logging.dir) / time.strftime("%Y%m%d_%H%M%S")
-    out_dir.mkdir(parents=True, exist_ok=True)
+    tags = ["ukb_mae_pretrain"] + (["multi_view"] if len(views) > 1 else [])
+    out_dir = init_run_dir(config, tags=tags)  # run.json: tags + flat config
     metrics_logger = MetricsLogger(out_dir)
     retention = CheckpointRetention(config.train.max_n_ckpts, pin_every=100)
 

@@ -19,7 +19,7 @@ import numpy as np
 
 from cinema_tpu.config import Config, save_config
 from cinema_tpu.data.datasets import BatchLoader, device_prefetch
-from cinema_tpu.log import get_logger
+from cinema_tpu.log import get_logger, init_run_dir
 from cinema_tpu.train.checkpoint import CheckpointRetention, save_checkpoint, save_params_safetensors
 from cinema_tpu.train.optim import EarlyStopping, build_optimizer, get_n_accum_steps
 from cinema_tpu.train.state import make_supervised_train_step, make_train_state
@@ -189,10 +189,9 @@ def run_train(
 
     step_fn = make_supervised_train_step(model, tx, loss_fn, donate=True)
 
-    if out_dir is None:
-        out_dir = Path(config.logging.dir) / time.strftime("%Y%m%d_%H%M%S")
-    out_dir = Path(out_dir)
-    out_dir.mkdir(parents=True, exist_ok=True)
+    # run dir + run.json (tags + flattened config — the reference's wandb
+    # run record, log.py:45-76/train.py:243-257)
+    out_dir = init_run_dir(config, out_dir=out_dir)
     save_config(config, out_dir / "config.yaml")
     metrics_logger = MetricsLogger(out_dir)
 

@@ -4,6 +4,7 @@ import pytest as _pytest
 
 pytestmark = _pytest.mark.slow  # full-model tier; fast tier runs -m "not slow"
 
+import json
 from pathlib import Path
 
 import numpy as np
@@ -228,3 +229,31 @@ def test_eval_dispatcher_routes(monkeypatch, tmp_path):
         fake_load_run.data = data
         evaluate.main(["--folder_path", str(tmp_path), "--split", split])
         assert calls[-1] == expect, (task, data, split, calls)
+
+
+def test_run_record_conventions(tmp_path):
+    """Run tags + run.json match the reference's wandb record
+    (reference log.py:45-76, train.py:243-257)."""
+    from cinema_tpu.config import from_dict
+    from cinema_tpu.log import flatten_dict, get_run_tags, init_run_dir
+
+    assert flatten_dict({"a": {"b": 1, "c": {"d": 2}}, "e": 3}) == {"a_b": 1, "a_c_d": 2, "e": 3}
+
+    config = from_dict(
+        {
+            "task": "classification",
+            "seed": 7,
+            "data": {"name": "acdc", "proportion": 0.5, "class_column": "pathology"},
+            "model": {"name": "convvit", "views": "sax", "ckpt_path": "x.safetensors"},
+            "logging": {"dir": str(tmp_path)},
+        }
+    )
+    tags = get_run_tags(config)
+    assert tags == sorted({"acdc", "convvit", "sax", "classification", "seed7", "50%", "finetuned", "pathology"})
+
+    out_dir = init_run_dir(config)
+    assert out_dir.parent == tmp_path
+    record = json.loads((out_dir / "run.json").read_text())
+    assert record["tags"] == tags
+    assert record["config"]["data_name"] == "acdc"
+    assert record["config"]["model_ckpt_path"] == "x.safetensors"

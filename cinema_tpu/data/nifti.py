@@ -161,14 +161,24 @@ def load_nifti_frame(path: Union[str, Path], t: int) -> Tuple[np.ndarray, NiftiH
     frame_bytes = frame_items * header.dtype.itemsize
     offset = header.vox_offset + t * frame_bytes
 
-    if path.suffix == ".gz":
-        with gzip.open(path, "rb") as f:
-            f.seek(offset)  # sequential decompression up to the offset
-            buf = f.read(frame_bytes)
-    else:
-        with open(path, "rb") as f:
-            f.seek(offset)
-            buf = f.read(frame_bytes)
+    buf = None
+    try:
+        # GIL-free zlib seek+read (cinema_tpu.native); None when the native
+        # library is unavailable -> pure-Python fallback below
+        from cinema_tpu import native
+
+        buf = native.read_at(path, offset, frame_bytes)
+    except ImportError:
+        buf = None
+    if buf is None:
+        if path.suffix == ".gz":
+            with gzip.open(path, "rb") as f:
+                f.seek(offset)  # sequential decompression up to the offset
+                buf = f.read(frame_bytes)
+        else:
+            with open(path, "rb") as f:
+                f.seek(offset)
+                buf = f.read(frame_bytes)
     data = np.frombuffer(buf, dtype=header.dtype, count=frame_items)
     arr = data.reshape((nz, ny, nx)).transpose(2, 1, 0)
     if header.scl_slope != 1.0 or header.scl_inter != 0.0:

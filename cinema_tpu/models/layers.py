@@ -167,6 +167,13 @@ class Conv(nn.Module):
         kernel = tuple(self.kernel_size)
         in_chans = x.shape[-1]
         fan_in = (in_chans // self.feature_group_count) * math.prod(kernel)
+        # NOTE: a Pallas K-folded conv exists for the 3^nd small-C case
+        # (ops/pallas/conv3d.py, bit-exact, 3.1x faster than the conv in
+        # ISOLATION) but is deliberately NOT dispatched: inside the real
+        # ConvResBlock graph XLA's producer/consumer fusion makes its own
+        # conv ~21 ms where the kernel costs 25 ms + broken fusion, a net
+        # serving regression (28.1 -> 23.7 frames/s measured end-to-end).
+        # See the kernel docstring for the measurements.
         return nn.Conv(
             features=self.features,
             kernel_size=kernel,
@@ -180,6 +187,33 @@ class Conv(nn.Module):
             param_dtype=jnp.float32,
             name="conv",
         )(x)
+
+
+class _PallasConv3(nn.Module):
+    """nn.Conv-compatible wrapper over ops.pallas.conv3d.conv3_same."""
+
+    features: int
+    kernel_size: Tuple[int, ...]
+    use_bias: bool
+    fan_in: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        from cinema_tpu.ops.pallas import conv3d
+
+        in_chans = x.shape[-1]
+        w = self.param(
+            "kernel",
+            torch_default_kernel_init,
+            (*self.kernel_size, in_chans, self.features),
+            jnp.float32,
+        )
+        out = conv3d.conv3_same(x.astype(self.dtype), w.astype(self.dtype))
+        if self.use_bias:
+            b = self.param("bias", torch_default_bias_init(self.fan_in), (self.features,), jnp.float32)
+            out = out + b.astype(out.dtype)
+        return out
 
 
 class ConvTranspose(nn.Module):

@@ -51,21 +51,15 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, n_k: int):
     Refs are blocked on a (B, H, T, D) layout — TPU Pallas requires the
     blocked axes to be the trailing two dims.
     """
-    # matmul operands stay in the INPUT dtype (bf16 on the production path —
-    # f32 MXU matmuls cost 3-6 bf16 passes); accumulation is f32 via
-    # preferred_element_type, and scale is applied to the f32 scores
-    q = q_ref[0, 0, :, :]  # (bq, d)
-    k = k_ref[0, 0, :, :]  # (tk, d)
-    v = v_ref[0, 0, :, :]  # (tk, d)
+    q = q_ref[0, 0, :, :].astype(jnp.float32)  # (bq, d)
+    k = k_ref[0, 0, :, :].astype(jnp.float32)  # (tk, d)
+    v = v_ref[0, 0, :, :].astype(jnp.float32)  # (tk, d)
 
-    scores = (
-        jax.lax.dot_general(
-            q,
-            k,
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        * scale
+    scores = jax.lax.dot_general(
+        q * scale,
+        k,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
     )  # (bq, tk)
 
     tk_pad = scores.shape[-1]
@@ -77,7 +71,7 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, n_k: int):
     probs = jnp.exp(scores)
     denom = jnp.sum(probs, axis=-1, keepdims=True)
     out = jax.lax.dot_general(
-        probs.astype(v.dtype),
+        probs,
         v,
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
@@ -187,17 +181,14 @@ def _flash_bwd_kernel(
     dk/dv output block is revisited over the innermost grid dim.
     """
     i = pl.program_id(2)
-    # matmul operands in the input dtype (f32 matmuls are 3-6x slower on the
-    # MXU); f32 accumulation; scale folded into the f32 score/grad tensors
-    q = q_ref[0, 0]
-    k = k_ref[0, 0]
-    v = v_ref[0, 0]
-    g = g_ref[0, 0]
-    dt = q.dtype
+    q = q_ref[0, 0].astype(jnp.float32)
+    k = k_ref[0, 0].astype(jnp.float32)
+    v = v_ref[0, 0].astype(jnp.float32)
+    g = g_ref[0, 0].astype(jnp.float32)
+    o = o_ref[0, 0].astype(jnp.float32)
 
-    scores = (
-        jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
-        * scale
+    scores = jax.lax.dot_general(
+        q * scale, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )
     tk_pad = scores.shape[-1]
     if tk_pad != n_k:
@@ -207,20 +198,14 @@ def _flash_bwd_kernel(
     exp = jnp.exp(scores)
     probs = exp / jnp.sum(exp, axis=-1, keepdims=True)
 
-    delta = jnp.sum(
-        g_ref[0, 0].astype(jnp.float32) * o_ref[0, 0].astype(jnp.float32),
-        axis=-1,
-        keepdims=True,
-    )  # (bq, 1)
+    delta = jnp.sum(g * o, axis=-1, keepdims=True)  # (bq, 1)
     dprobs = jax.lax.dot_general(
         g, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )  # (bq, tk)
     dscores = probs * (dprobs - delta)
-    dscores_dt = dscores.astype(dt)
-    probs_dt = probs.astype(dt)
 
     dq_ref[0, 0] = (
-        jax.lax.dot_general(dscores_dt, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+        jax.lax.dot_general(dscores, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
         * scale
     ).astype(dq_ref.dtype)
 
@@ -230,11 +215,11 @@ def _flash_bwd_kernel(
         dv_ref[0, 0] = jnp.zeros_like(dv_ref[0, 0])
 
     dk_ref[0, 0] += (
-        jax.lax.dot_general(dscores_dt, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+        jax.lax.dot_general(dscores, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
         * scale
     ).astype(dk_ref.dtype)
     dv_ref[0, 0] += jax.lax.dot_general(
-        probs_dt, g, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        probs, g, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
     ).astype(dv_ref.dtype)
 
 
@@ -328,16 +313,11 @@ def _packed_fwd_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, n_k: int, he
         col = jax.lax.broadcasted_iota(jnp.int32, (q_all.shape[0], tk_pad), dimension=1)
     for h in range(heads):
         sl = slice(h * d, (h + 1) * d)
-        # operands stay in the input dtype (bf16 in production): f32 MXU
-        # matmuls cost 3-6 bf16 passes; accumulate f32, scale post-matmul
-        qh = q_all[:, sl]
-        kh = k_all[:, sl]
-        vh = v_all[:, sl]
-        scores = (
-            jax.lax.dot_general(
-                qh, kh, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-            )
-            * scale
+        qh = q_all[:, sl].astype(jnp.float32) * scale
+        kh = k_all[:, sl].astype(jnp.float32)
+        vh = v_all[:, sl].astype(jnp.float32)
+        scores = jax.lax.dot_general(
+            qh, kh, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )
         if col is not None:
             scores = jnp.where(col < n_k, scores, -jnp.inf)
@@ -345,7 +325,7 @@ def _packed_fwd_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, n_k: int, he
         probs = jnp.exp(scores)
         denom = jnp.sum(probs, axis=-1, keepdims=True)
         out = jax.lax.dot_general(
-            probs.astype(vh.dtype), vh, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            probs, vh, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
         ) / denom
         o_ref[0, :, sl] = out.astype(o_ref.dtype)
 
@@ -369,18 +349,14 @@ def _packed_bwd_kernel(
         col = jax.lax.broadcasted_iota(jnp.int32, (q_ref.shape[1], tk_pad), dimension=1)
     for h in range(heads):
         sl = slice(h * d, (h + 1) * d)
-        # input-dtype operands + f32 accumulation (see _packed_fwd_kernel)
-        qh = q_ref[0, :, sl]
-        kh = k_ref[0, :, sl]
-        vh = v_ref[0, :, sl]
-        gh = g_ref[0, :, sl]
-        dt = qh.dtype
+        qh = q_ref[0, :, sl].astype(jnp.float32)
+        kh = k_ref[0, :, sl].astype(jnp.float32)
+        vh = v_ref[0, :, sl].astype(jnp.float32)
+        gh = g_ref[0, :, sl].astype(jnp.float32)
+        oh = o_ref[0, :, sl].astype(jnp.float32)
 
-        scores = (
-            jax.lax.dot_general(
-                qh, kh, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-            )
-            * scale
+        scores = jax.lax.dot_general(
+            qh * scale, kh, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )
         if col is not None:
             scores = jnp.where(col < n_k, scores, -jnp.inf)
@@ -388,32 +364,26 @@ def _packed_bwd_kernel(
         exp = jnp.exp(scores)
         probs = exp / jnp.sum(exp, axis=-1, keepdims=True)
 
-        delta = jnp.sum(
-            gh.astype(jnp.float32) * o_ref[0, :, sl].astype(jnp.float32),
-            axis=-1,
-            keepdims=True,
-        )
+        delta = jnp.sum(gh * oh, axis=-1, keepdims=True)
         dprobs = jax.lax.dot_general(
             gh, vh, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )
         dscores = probs * (dprobs - delta)
-        dscores_dt = dscores.astype(dt)
-        probs_dt = probs.astype(dt)
 
         dq_ref[0, :, sl] = (
             jax.lax.dot_general(
-                dscores_dt, kh, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+                dscores, kh, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
             )
             * scale
         ).astype(dq_ref.dtype)
         dk_ref[0, :, sl] += (
             jax.lax.dot_general(
-                dscores_dt, qh, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+                dscores, qh, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
             )
             * scale
         ).astype(dk_ref.dtype)
         dv_ref[0, :, sl] += jax.lax.dot_general(
-            probs_dt, gh, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            probs, gh, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
         ).astype(dv_ref.dtype)
 
 

@@ -126,6 +126,7 @@ def _tiny_mae(sparse):
     )
 
 
+@pytest.mark.slow  # full-model tier; fast tier runs -m "not slow"
 def test_cinema_sparse_matches_dense_end_to_end():
     rng = np.random.default_rng(3)
     dense_model = _tiny_mae(False)

@@ -89,12 +89,25 @@ def _param_spec(parts: Tuple[str, ...], value: Any) -> P:
     return P()
 
 
-def param_shardings(params: Any, mesh: Mesh) -> Any:
-    """NamedSharding tree for any state tree (TP over the 'model' axis).
+# params smaller than this stay replicated under FSDP (the all-gather
+# latency on tiny tensors outweighs the memory saved)
+_FSDP_MIN_SIZE = 2**16
 
-    Dims not divisible by the model-axis size fall back to replication.
+
+def param_shardings(params: Any, mesh: Mesh, fsdp: bool = False) -> Any:
+    """NamedSharding tree for any state tree.
+
+    TP over the 'model' axis (Megatron rules); with ``fsdp`` additionally
+    shards every still-replicated large param over the 'data' axis on its
+    largest divisible dim — ZeRO-3-style memory scaling: GSPMD all-gathers
+    params before use and reduce-scatters gradients, so optimizer state and
+    master weights live sharded (the reference's DDP replicates everything,
+    cinema/device.py:86-104; this is strictly stronger).
+
+    Dims not divisible by the axis size fall back to replication.
     """
     n_model = mesh.shape[MODEL_AXIS]
+    n_data = mesh.shape[DATA_AXIS]
 
     def to_sharding(keypath, value):
         parts = _path_parts(keypath)
@@ -103,6 +116,24 @@ def param_shardings(params: Any, mesh: Mesh) -> Any:
             if name == MODEL_AXIS and value.shape[axis] % n_model != 0:
                 spec = P()
                 break
+        if (
+            fsdp
+            and hasattr(value, "ndim")
+            and value.ndim >= 1
+            and np.prod(value.shape) >= _FSDP_MIN_SIZE
+        ):
+            # shard the largest still-free dim over 'data' (composes with
+            # TP: a (None, 'model') kernel becomes ('data', 'model'))
+            entries = list(spec) + [None] * (value.ndim - len(spec))
+            candidates = [
+                (value.shape[axis], axis)
+                for axis in range(value.ndim)
+                if entries[axis] is None and value.shape[axis] % n_data == 0
+            ]
+            if candidates:
+                _, axis = max(candidates)
+                entries[axis] = DATA_AXIS
+                spec = P(*entries)
         return NamedSharding(mesh, spec)
 
     return jax.tree_util.tree_map_with_path(to_sharding, params)

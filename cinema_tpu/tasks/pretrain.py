@@ -111,7 +111,9 @@ def run(config: Config) -> None:
         clip_grad=config.train.clip_grad,
         accum_steps=n_accum,
     )
-    state, shardings = make_train_state(init_fn, tx, mesh)
+    state, shardings = make_train_state(
+        init_fn, tx, mesh, fsdp=bool(config.get("mesh", {}).get("fsdp", False))
+    )
     step_fn = make_mae_train_step(
         model, tx, config.train.enc_mask_ratio, mesh=mesh, state_shardings=shardings
     )

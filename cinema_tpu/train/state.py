@@ -70,6 +70,7 @@ def make_train_state(
     init_fn: Callable[[], Any],
     tx: optax.GradientTransformation,
     mesh: Optional[Mesh] = None,
+    fsdp: bool = False,
 ) -> Tuple[TrainState, Any]:
     """Create a TrainState with jitted init (fast on TPU) and optional sharding.
 
@@ -81,6 +82,8 @@ def make_train_state(
         init_fn: zero-arg function returning the param tree.
         tx: optax transformation.
         mesh: if given, state gets TP shardings over the 'model' axis.
+        fsdp: additionally shard replicated large params + optimizer state
+            over the 'data' axis (ZeRO-3-style; see parallel/mesh.py).
 
     Returns:
         (state, state_shardings or None).
@@ -93,7 +96,7 @@ def make_train_state(
         return jax.jit(init_state)(), None
 
     abstract = jax.eval_shape(init_state)
-    state_shardings = param_shardings(abstract, mesh)
+    state_shardings = param_shardings(abstract, mesh, fsdp=fsdp)
     state = jax.jit(init_state, out_shardings=state_shardings)()
     return state, state_shardings
 

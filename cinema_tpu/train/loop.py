@@ -10,7 +10,6 @@ wandb, which is unavailable here).
 from __future__ import annotations
 
 import json
-import time
 from pathlib import Path
 from typing import Any, Callable, Dict, Optional, Tuple
 

@@ -257,3 +257,81 @@ def test_run_record_conventions(tmp_path):
     assert record["tags"] == tags
     assert record["config"]["data_name"] == "acdc"
     assert record["config"]["model_ckpt_path"] == "x.safetensors"
+
+
+@pytest.fixture()
+def landmark_dir(tmp_path_factory):
+    from PIL import Image
+
+    root = tmp_path_factory.mktemp("landmark_proc")
+    rng = np.random.default_rng(0)
+    view = "lax_2c"
+    (root / view / "images").mkdir(parents=True)
+    rows = []
+    for i in range(12):
+        uid = f"u{i:03d}"
+        Image.fromarray(rng.integers(0, 255, size=(32, 32), dtype=np.uint8)).save(
+            root / view / "images" / f"{uid}.png"
+        )
+        rows.append({"uid": uid, "path": f"{view}/images/{uid}.png",
+                     "x1": 6, "y1": 7, "x2": 20, "y2": 10, "x3": 15, "y3": 25})
+    df = pd.DataFrame(rows)
+    df.iloc[:10].to_csv(root / "train_metadata.csv", index=False)
+    df.iloc[10:].to_csv(root / "val_metadata.csv", index=False)
+    return root
+
+
+def _landmark_overrides(landmark_dir, out_dir):
+    return [
+        f"data.dir={landmark_dir}",
+        "data.lax.patch_size=[32,32]",
+        "transform.lax.translate_range=[2,2]",
+        "train.batch_size=4",
+        "train.batch_size_per_device=2",
+        "train.n_epochs=2",
+        "train.n_warmup_epochs=0",
+        "train.eval_interval=2",
+        "train.n_workers=2",
+        "grad_ckpt=false",
+        f"logging.dir={out_dir}",
+    ]
+
+
+@pytest.mark.slow
+def test_landmark_heatmap_task_end_to_end(landmark_dir, tmp_path):
+    from cinema_tpu.tasks.segmentation.landmark import run
+
+    cfg = apply_overrides(
+        load_config(CONFIG_DIR / "segmentation" / "landmark.yaml"),
+        _landmark_overrides(landmark_dir, tmp_path / "runs")
+        + [
+            "model.convunetr.size=tiny",
+            "model.convunetr.enc_conv_chans=[4,8]",
+            "model.convunetr.enc_conv_n_blocks=1",
+            "model.convunetr.dec_chans=[4,4,8,16,32]",
+        ],
+    )
+    run(cfg)
+    run_dir = next((tmp_path / "runs").iterdir())
+    lines = (run_dir / "metrics.jsonl").read_text().splitlines()
+    assert any("val_mean_landmark_distance" in line for line in lines)
+
+
+@pytest.mark.slow
+def test_landmark_coordinate_task_end_to_end(landmark_dir, tmp_path):
+    from cinema_tpu.tasks.regression.landmark import run
+
+    cfg = apply_overrides(
+        load_config(CONFIG_DIR / "regression" / "landmark.yaml"),
+        _landmark_overrides(landmark_dir, tmp_path / "runs")
+        + [
+            "model.convvit.size=tiny",
+            "model.convvit.enc_conv_chans=[4,8]",
+            "model.convvit.enc_conv_n_blocks=1",
+            "model.convvit.drop_path=0.0",
+        ],
+    )
+    run(cfg)
+    run_dir = next((tmp_path / "runs").iterdir())
+    lines = (run_dir / "metrics.jsonl").read_text().splitlines()
+    assert any("val_mean_coordinate_error" in line for line in lines)

@@ -178,3 +178,25 @@ def test_sparse_param_structure_identical():
         p = jax.eval_shape(lambda s=sparse: _tiny_mae(s).init(rngs, images, 0.75))
         shapes.append(jax.tree.map(lambda x: (x.shape, x.dtype), p))
     assert shapes[0] == shapes[1]
+
+
+def test_sparse_ratio_zero_matches_dense():
+    """full_patch_mask (ratio 0): every cell visible — the sparse path must
+    still equal the dense one (scatter becomes a permutation identity)."""
+    from cinema_tpu.ops.masking import full_patch_mask
+
+    rng = np.random.default_rng(5)
+    kw = dict(
+        image_size=(16, 16, 4), patch_size=(2, 2, 1), scale_factor=(2, 2, 1),
+        conv_chans=(4, 8), conv_n_blocks=1, embed_dim=12,
+    )
+    dense_enc = DownsampleEncoder(**kw, sparse_masking=False)
+    sparse_enc = DownsampleEncoder(**kw, sparse_masking=True)
+    img = jnp.asarray(rng.normal(size=(2, 16, 16, 4, 1)).astype(np.float32))
+    mask = full_patch_mask(2, dense_enc.n_patches)
+    params = dense_enc.init(jax.random.PRNGKey(0), img, mask)
+    _, dense_tokens = dense_enc.apply(params, img, mask)
+    _, sparse_tokens = sparse_enc.apply(params, img, mask)
+    np.testing.assert_allclose(
+        np.asarray(sparse_tokens), np.asarray(dense_tokens), rtol=1e-5, atol=1e-5
+    )

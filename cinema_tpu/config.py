@@ -9,7 +9,7 @@ published HuggingFace config.yaml files load unchanged, which is what makes
 from __future__ import annotations
 
 from pathlib import Path
-from typing import Any, Dict, List, Sequence, Union
+from typing import Any, Dict, Sequence, Union
 
 import yaml
 

@@ -18,7 +18,7 @@ from __future__ import annotations
 
 import gzip
 import struct
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from pathlib import Path
 from typing import BinaryIO, Optional, Sequence, Tuple, Union
 
@@ -169,6 +169,11 @@ def load_nifti_frame(path: Union[str, Path], t: int) -> Tuple[np.ndarray, NiftiH
 
         buf = native.read_at(path, offset, frame_bytes)
     except ImportError:
+        buf = None
+    except IOError as e:
+        # Native reader rejected the stream (e.g. a gzip variant zlib's gz*
+        # API refuses); the Python path may still handle it.
+        logger.warning("native frame read failed (%s); falling back to Python reader", e)
         buf = None
     if buf is None:
         if path.suffix == ".gz":

@@ -8,7 +8,7 @@ blocks, configurable per-layer planes, consuming a single-view image dict.
 
 from __future__ import annotations
 
-from typing import Any, Dict, Sequence, Tuple
+from typing import Any, Dict, Tuple
 
 import jax.numpy as jnp
 from flax import linen as nn

@@ -59,10 +59,16 @@ def _build() -> Optional[Path]:
     out = _DIR / f"_frame_reader_{tag}.so"
     if out.exists():
         return out
-    cmd = ["g++", "-O2", "-shared", "-fPIC", "-std=c++17", str(_SRC), "-o", str(out), "-lz", "-lpthread"]
+    # Compile to a per-process temp name and os.replace() into the final
+    # path: multiple loader workers may race here, and dlopen must never
+    # see a partially written .so (os.replace is atomic on POSIX).
+    tmp = _DIR / f"_frame_reader_{tag}.{os.getpid()}.tmp.so"
+    cmd = ["g++", "-O2", "-shared", "-fPIC", "-std=c++17", str(_SRC), "-o", str(tmp), "-lz", "-lpthread"]
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+        os.replace(tmp, out)
     except (OSError, subprocess.SubprocessError):
+        tmp.unlink(missing_ok=True)
         return None
     return out if out.exists() else None
 

@@ -23,6 +23,13 @@
 
 #include <zlib.h>
 
+// Frame offsets in large 4D studies can exceed 2GB; with a 32-bit z_off_t
+// the gzseek cast below would silently wrap and read the WRONG frame.
+// Refuse to build in that case (the loader then falls back to the Python
+// reader, which handles 64-bit offsets correctly).
+static_assert(sizeof(z_off_t) == 8,
+              "zlib built without large-file support (32-bit z_off_t)");
+
 extern "C" {
 
 typedef struct {

@@ -36,7 +36,6 @@ custom_vjp keeps fine-tuning correct at XLA speed).
 
 from __future__ import annotations
 
-import functools
 import math
 from typing import Optional, Sequence, Tuple
 

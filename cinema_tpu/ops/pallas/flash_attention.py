@@ -18,7 +18,6 @@ this is the TPU-native equivalent. Design choices for this model family
 from __future__ import annotations
 
 import functools
-from typing import Optional
 
 import jax
 import jax.numpy as jnp

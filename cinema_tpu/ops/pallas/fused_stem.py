@@ -39,12 +39,10 @@ follow-up that keeps XLA's conv and fuses only the pointwise segments.
 from __future__ import annotations
 
 import functools
-import itertools
 from typing import Any, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 

@@ -11,7 +11,6 @@ import argparse
 from pathlib import Path
 from typing import Dict, List, Optional
 
-import jax
 import numpy as np
 import pandas as pd
 
@@ -21,8 +20,6 @@ from cinema_tpu.data.datasets import (
     EDESClassificationDataset,
     EDESRegressionDataset,
     EDESSegmentationDataset,
-    EMIDECDataset,
-    MYOPS2020Dataset,
 )
 from cinema_tpu.data.transforms import get_segmentation_transforms
 from cinema_tpu.log import get_logger
@@ -42,7 +39,6 @@ def load_run(folder: Path, dtype=None):
 
     from cinema_tpu.bridge.torch_loader import load_torch_state_dict
     from cinema_tpu.factory import (
-        get_convvit_model,
         get_segmentation_model,
         init_params,
         load_safetensors,
@@ -141,6 +137,38 @@ def edes_seg_eval(config: Config, split: str, out_dir: Path, model, params, metr
     logger.info(f"Wrote metrics to {out_dir}.")
 
 
+def volume_seg_eval(
+    config: Config, split: str, out_dir: Path, model, params, dataset_cls, metrics_fn
+) -> None:
+    """Single-volume-per-patient seg eval (emidec / myops2020): their data
+    layouts are pid-directories with no ED/ES pairing, so the EDES dataset
+    and the EF merge do not apply (reference segmentation/{emidec,myops2020}/
+    eval.py evaluate per-patient volumes directly)."""
+    data_dir = Path(config.data.dir).expanduser()
+    meta_df = pd.read_csv(data_dir / f"{split}_metadata.csv")
+    _, val_transform = get_segmentation_transforms(config)
+    dataset = dataset_cls(data_dir / split, meta_df, transform=val_transform)
+    loader = BatchLoader(dataset, batch_size=1, n_workers=config.train.get("n_workers", 4))
+    patch_size_dict, spacing_dict = patch_and_spacing_dicts(config)
+    forward = make_seg_forward(model)
+
+    rows: List[Dict] = []
+    for batch in loader:
+        _, metrics = segmentation_eval_batch(
+            forward, params, batch, patch_size_dict, spacing_dict, metrics_fn,
+            z_bucket=config.get("eval", {}).get("z_bucket", 4),
+        )
+        metrics["pid"] = batch["pid"][0]
+        rows.append(metrics)
+    df = pd.DataFrame(rows)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    df.to_csv(out_dir / "metrics.csv", index=False)
+    df.drop(columns=["pid"]).mean(numeric_only=True).to_frame().T.to_csv(
+        out_dir / "mean_metrics.csv", index=False
+    )
+    logger.info(f"Wrote metrics to {out_dir}.")
+
+
 def rescan_seg_eval(config: Config, split: str, out_dir: Path, model, params) -> None:
     """Labeled rescan: per-frame sliding-window seg metrics over the cine
     dataset (reference segmentation/rescan/eval.py)."""
@@ -222,13 +250,19 @@ def main(argv: Optional[list] = None) -> None:
         if data in ("acdc", "mnms", "mnms2"):
             edes_seg_eval(config, args.split, out_dir, model, params)
         elif data == "emidec":
+            from cinema_tpu.data.datasets import EMIDECDataset
             from cinema_tpu.tasks.segmentation.emidec import emidec_segmentation_metrics
 
-            edes_seg_eval(config, args.split, out_dir, model, params, emidec_segmentation_metrics)
+            volume_seg_eval(
+                config, args.split, out_dir, model, params, EMIDECDataset, emidec_segmentation_metrics
+            )
         elif data == "myops2020":
+            from cinema_tpu.data.datasets import MYOPS2020Dataset
             from cinema_tpu.tasks.segmentation.myops2020 import myops2020_segmentation_metrics
 
-            edes_seg_eval(config, args.split, out_dir, model, params, myops2020_segmentation_metrics)
+            volume_seg_eval(
+                config, args.split, out_dir, model, params, MYOPS2020Dataset, myops2020_segmentation_metrics
+            )
         elif data == "kaggle":
             from cinema_tpu.tasks.segmentation.kaggle import evaluate_kaggle
 
@@ -288,6 +322,45 @@ def main(argv: Optional[list] = None) -> None:
         pd.DataFrame([metrics]).to_csv(out_dir / "mean_metrics.csv", index=False)
     else:
         raise ValueError(f"Unknown evaluation task: {config.task}")
+
+
+def _make_dataset_eval_main(data: str, task: str):
+    """Per-dataset eval console script (reference pyproject.toml:58-106
+    declares one ``<data>_<task>_eval`` per dataset; all route through the
+    same dispatcher here)."""
+
+    def _main(argv: Optional[list] = None) -> None:
+        parser = argparse.ArgumentParser(description=f"Evaluate a {data} {task} run folder.")
+        parser.add_argument("--folder_path", type=Path, required=True)
+        parser.add_argument("--split", type=str, default="test")
+        args = parser.parse_args(argv)
+        config = load_config(args.folder_path / "config.yaml")
+        if config.task != task:
+            raise ValueError(
+                f"{data}_{task} eval called on a '{config.task}' run folder "
+                f"({args.folder_path}); use the matching *_{{seg,clf,reg}}_eval script."
+            )
+        main(["--folder_path", str(args.folder_path), "--split", args.split, "--data", data])
+
+    _main.__name__ = f"main_{data}_{task}"
+    return _main
+
+
+main_acdc_seg = _make_dataset_eval_main("acdc", "segmentation")
+main_acdc_clf = _make_dataset_eval_main("acdc", "classification")
+main_acdc_reg = _make_dataset_eval_main("acdc", "regression")
+main_mnms_seg = _make_dataset_eval_main("mnms", "segmentation")
+main_mnms_clf = _make_dataset_eval_main("mnms", "classification")
+main_mnms_reg = _make_dataset_eval_main("mnms", "regression")
+main_mnms2_seg = _make_dataset_eval_main("mnms2", "segmentation")
+main_mnms2_clf = _make_dataset_eval_main("mnms2", "classification")
+main_mnms2_reg = _make_dataset_eval_main("mnms2", "regression")
+main_kaggle_seg = _make_dataset_eval_main("kaggle", "segmentation")
+main_rescan_seg = _make_dataset_eval_main("rescan", "segmentation")
+main_emidec_seg = _make_dataset_eval_main("emidec", "segmentation")
+main_myops2020_seg = _make_dataset_eval_main("myops2020", "segmentation")
+main_landmark_seg = _make_dataset_eval_main("landmark", "segmentation")
+main_landmark_reg = _make_dataset_eval_main("landmark", "regression")
 
 
 if __name__ == "__main__":

@@ -11,7 +11,7 @@ from __future__ import annotations
 
 import time
 from pathlib import Path
-from typing import List, Tuple
+from typing import List
 
 import jax
 import jax.numpy as jnp
@@ -26,7 +26,6 @@ from cinema_tpu.parallel.mesh import batch_shardings, make_mesh
 from cinema_tpu.tasks.cli import task_main
 from cinema_tpu.train.checkpoint import (
     CheckpointRetention,
-    latest_checkpoint,
     load_checkpoint,
     save_checkpoint,
     save_params_safetensors,

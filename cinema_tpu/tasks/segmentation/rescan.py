@@ -10,7 +10,6 @@ import numpy as np
 import pandas as pd
 
 from cinema_tpu.config import Config
-from cinema_tpu.constants import LV_LABEL
 from cinema_tpu.data.datasets import CineSegmentationDataset
 from cinema_tpu.data.transforms import get_segmentation_transforms
 from cinema_tpu.factory import get_segmentation_model

@@ -18,8 +18,6 @@ from PIL import Image
 
 from cinema_tpu.data.transforms import ScaleIntensityd, SpatialPadd
 from cinema_tpu.factory import from_finetuned
-from cinema_tpu.metrics import heatmap_argmax
-from cinema_tpu.ops.window import crop_start
 
 
 def main() -> None:

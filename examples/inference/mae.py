@@ -19,7 +19,6 @@ import numpy as np
 from cinema_tpu.data.nifti import load_nifti_frame
 from cinema_tpu.data.transforms import ScaleIntensityd, SpatialPadd
 from cinema_tpu.factory import mae_from_pretrained
-from cinema_tpu.ops.masking import random_patch_mask
 from cinema_tpu.ops.patch import patchify, unpatchify
 
 

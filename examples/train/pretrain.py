@@ -15,10 +15,6 @@ _sys.path.insert(0, str(_Path(__file__).resolve().parents[2]))  # repo root, for
 import argparse
 from pathlib import Path
 
-import jax
-import jax.numpy as jnp
-import numpy as np
-import pandas as pd
 
 from cinema_tpu.config import apply_overrides, load_config
 from cinema_tpu.tasks.pretrain import run, scan_manifest  # noqa: F401  (scan_manifest re-exported for tutorial use)

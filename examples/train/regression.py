@@ -15,13 +15,9 @@ _sys.path.insert(0, str(_Path(__file__).resolve().parents[2]))  # repo root, for
 import argparse
 from pathlib import Path
 
-import jax
-import jax.numpy as jnp
-import numpy as np
-import pandas as pd
 
 from cinema_tpu.config import apply_overrides, load_config
-from cinema_tpu.tasks.regression.acdc import load_dataset, run
+from cinema_tpu.tasks.regression.acdc import run
 
 CONFIG = Path(__file__).parents[2] / "cinema_tpu" / "configs" / "regression/acdc.yaml"
 

@@ -8,11 +8,9 @@ import pytest
 
 from cinema_tpu.config import apply_overrides, from_dict, load_config, merge, save_config
 from cinema_tpu.factory import (
-    get_convunetr_model,
     get_convvit_model,
     get_mae_model,
     get_segmentation_model,
-    get_unet_model,
     init_params,
 )
 

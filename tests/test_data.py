@@ -18,7 +18,6 @@ from cinema_tpu.data.geometry import (
 )
 from cinema_tpu.data.nifti import load_nifti, load_nifti_frame, load_nifti_header, save_nifti
 from cinema_tpu.data.transforms import (
-    Compose,
     RandAdjustContrastd,
     RandAffined,
     RandCoarseDropoutd,

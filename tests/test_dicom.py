@@ -8,7 +8,6 @@ import pytest
 from cinema_tpu.data.dicom import (
     EXPLICIT_VR_LE,
     IMPLICIT_VR_LE,
-    DicomImage,
     load_series,
     read_dicom,
     sort_cine_frames,

@@ -11,7 +11,6 @@ import pytest
 
 from cinema_tpu.models.mae import CineMA, get_decoder_patch_size, mse_loss
 from cinema_tpu.ops.masking import random_patch_mask
-from cinema_tpu.ops.patch import patchify
 
 SAX_SIZE = (32, 32, 4)
 LAX_SIZE = (32, 32)

@@ -11,7 +11,7 @@ import numpy as np
 import pytest
 
 from cinema_tpu import native
-from cinema_tpu.data.nifti import load_nifti, load_nifti_frame, load_nifti_header, save_nifti
+from cinema_tpu.data.nifti import load_nifti_frame, load_nifti_header, save_nifti
 
 pytestmark = pytest.mark.skipif(not native.available(), reason="native reader unavailable")
 

@@ -1,6 +1,5 @@
 """Tests for optimizer extras."""
 
-import numpy as np
 
 from cinema_tpu.train.optim import CosineScheduler, warmup_cosine_schedule
 

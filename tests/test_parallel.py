@@ -11,12 +11,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
-from jax.sharding import NamedSharding, PartitionSpec as P
+from jax.sharding import PartitionSpec as P
 
 from cinema_tpu.models.mae import CineMA
 from cinema_tpu.parallel.mesh import batch_shardings, make_mesh, param_shardings
 from cinema_tpu.train.optim import build_optimizer
-from cinema_tpu.train.state import TrainState, make_mae_train_step, make_train_state
+from cinema_tpu.train.state import make_mae_train_step, make_train_state
 
 SAX_SIZE = (32, 32, 4)
 LAX_SIZE = (32, 32)

@@ -253,7 +253,24 @@ def test_console_scripts_resolve():
 
     with open(Path(__file__).parents[1] / "pyproject.toml", "rb") as f:
         scripts = tomllib.load(f)["project"]["scripts"]
-    assert len(scripts) >= 26  # reference pyproject.toml:48-106 parity
+    # every console script the reference declares (pyproject.toml:48-106)
+    reference_scripts = {
+        "ukb_mae_pretrain", "cinema_eval",
+        "acdc_preprocess", "acdc_seg_train", "acdc_seg_eval",
+        "acdc_clf_train", "acdc_clf_eval", "acdc_reg_train", "acdc_reg_eval",
+        "mnms_preprocess", "mnms_seg_train", "mnms_seg_eval",
+        "mnms_clf_train", "mnms_clf_eval", "mnms_reg_train", "mnms_reg_eval",
+        "mnms2_preprocess", "mnms2_seg_train", "mnms2_seg_eval",
+        "mnms2_clf_train", "mnms2_clf_eval", "mnms2_reg_train", "mnms2_reg_eval",
+        "kaggle_preprocess", "kaggle_seg_eval",
+        "rescan_preprocess", "rescan_seg_train", "rescan_seg_eval",
+        "emidec_preprocess", "emidec_seg_train", "emidec_seg_eval",
+        "myops2020_preprocess", "myops2020_seg_train", "myops2020_seg_eval",
+        "landmark_preprocess", "landmark_seg_train", "landmark_seg_eval",
+        "landmark_reg_train", "landmark_reg_eval",
+    }
+    missing = reference_scripts - set(scripts)
+    assert not missing, f"reference console scripts missing: {sorted(missing)}"
     for name, target in scripts.items():
         module, func = target.split(":")
         mod = importlib.import_module(module)

@@ -210,7 +210,7 @@ def test_eval_dispatcher_routes(monkeypatch, tmp_path):
         return cfg, object(), object()
 
     monkeypatch.setattr(evaluate, "load_run", fake_load_run)
-    for route in ("rescan_seg_eval", "landmark_seg_eval", "landmark_reg_eval"):
+    for route in ("rescan_seg_eval", "landmark_seg_eval", "landmark_reg_eval", "volume_seg_eval"):
         monkeypatch.setattr(
             evaluate, route, lambda *a, _r=route, **k: calls.append(_r), raising=True
         )
@@ -224,11 +224,32 @@ def test_eval_dispatcher_routes(monkeypatch, tmp_path):
         ("segmentation", "rescan", "test_retest_100", "rescan_ef_eval"),
         ("segmentation", "landmark", "test", "landmark_seg_eval"),
         ("regression", "landmark", "test", "landmark_reg_eval"),
+        # emidec/myops2020 use pid-directory volume datasets, NOT the EDES
+        # dataset (their layouts have no ED/ES pairing)
+        ("segmentation", "emidec", "test", "volume_seg_eval"),
+        ("segmentation", "myops2020", "test", "volume_seg_eval"),
     ]:
         fake_load_run.task = task
         fake_load_run.data = data
         evaluate.main(["--folder_path", str(tmp_path), "--split", split])
         assert calls[-1] == expect, (task, data, split, calls)
+
+
+def test_per_dataset_eval_wrappers(monkeypatch, tmp_path):
+    """Per-dataset ``*_eval`` console scripts pin --data and validate the
+    run-folder task (reference pyproject.toml:58-106 CLI parity)."""
+    import yaml
+
+    from cinema_tpu.tasks import evaluate
+
+    (tmp_path / "config.yaml").write_text(yaml.safe_dump({"task": "segmentation"}))
+    seen = []
+    monkeypatch.setattr(evaluate, "main", lambda argv: seen.append(argv))
+    evaluate.main_acdc_seg(["--folder_path", str(tmp_path), "--split", "train"])
+    assert seen[-1] == ["--folder_path", str(tmp_path), "--split", "train", "--data", "acdc"]
+
+    with pytest.raises(ValueError, match="classification"):
+        evaluate.main_acdc_clf(["--folder_path", str(tmp_path)])
 
 
 def test_run_record_conventions(tmp_path):

@@ -5,7 +5,6 @@ These were previously only dispatch-mocked; here each evaluator runs for
 real on synthetic processed data with a tiny ConvUNetR.
 """
 
-import json
 from pathlib import Path
 
 import numpy as np

@@ -15,7 +15,6 @@ from cinema_tpu.models.vit import (
     get_vit_config,
 )
 
-from helpers import t2j_dense_kernel
 
 
 def _torch_sdpa_reference(x_q, x_k, wq, bq, wkv, bkv, wp, bp, n_heads):

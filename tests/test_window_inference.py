@@ -17,7 +17,6 @@ from cinema_tpu.losses import (
     landmark_coordinate_loss,
     landmark_heatmap_loss,
     segmentation_loss,
-    soft_dice_loss,
     wing_loss,
 )
 from cinema_tpu.metrics import (
@@ -32,7 +31,6 @@ from cinema_tpu.metrics import (
     heatmap_soft_argmax,
     iou_score,
     segmentation_metrics,
-    stability_score,
 )
 from cinema_tpu.ops.window import aggregate_patches, crop_start, get_patch_grid, patch_grid_sample
 

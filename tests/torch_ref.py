@@ -9,7 +9,6 @@ full-model outputs can be compared against the flax implementation.
 
 from __future__ import annotations
 
-import math
 from typing import Dict, List, Optional, Sequence
 
 import numpy as np

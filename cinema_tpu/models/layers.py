@@ -47,9 +47,51 @@ def torch_default_bias_init(fan_in: int) -> Callable[..., jnp.ndarray]:
     return init
 
 
+_INV_SQRT2 = 0.7071067811865476
+_INV_SQRT2PI = 0.3989422804014327
+
+
+def _erf_approx(x: jnp.ndarray) -> jnp.ndarray:
+    """Abramowitz-Stegun 7.1.26 erf (f32 in/out, max abs err 1.5e-7).
+
+    XLA's erf expansion is branch-heavy and VPU-expensive on TPU (measured
+    ~0.4ms per (12304, 3072) GELU on v5e); this form is one exp + 5 FMAs,
+    with error two orders below the parity-test tolerances (2e-4).
+    """
+    sign = jnp.sign(x)
+    ax = jnp.abs(x)
+    t = 1.0 / (1.0 + 0.3275911 * ax)
+    poly = t * (
+        0.254829592
+        + t * (-0.284496736 + t * (1.421413741 + t * (-1.453152027 + t * 1.061405429)))
+    )
+    return sign * (1.0 - poly * jnp.exp(-ax * ax))
+
+
+@jax.custom_vjp
 def gelu(x: jnp.ndarray) -> jnp.ndarray:
-    """Exact (erf) GELU — torch nn.GELU default. jax.nn.gelu defaults to tanh."""
-    return jax.nn.gelu(x, approximate=False)
+    """Exact-grade (erf) GELU — torch nn.GELU default semantics.
+
+    Forward uses the A-S erf above; backward is the analytic derivative
+    Φ(x) + x·φ(x) via custom_vjp — jax.grad through sign/abs/select chains
+    costs more than the whole forward (measured on v5e).
+    """
+    xf = x.astype(jnp.float32)
+    return (0.5 * xf * (1.0 + _erf_approx(xf * _INV_SQRT2))).astype(x.dtype)
+
+
+def _gelu_fwd(x):
+    return gelu(x), x
+
+
+def _gelu_bwd(x, g):
+    xf = x.astype(jnp.float32)
+    cdf = 0.5 * (1.0 + _erf_approx(xf * _INV_SQRT2))
+    pdf = _INV_SQRT2PI * jnp.exp(-0.5 * xf * xf)
+    return ((g.astype(jnp.float32) * (cdf + xf * pdf)).astype(x.dtype),)
+
+
+gelu.defvjp(_gelu_fwd, _gelu_bwd)
 
 
 def _as_tuple(v: KernelSize, n: int) -> Tuple[int, ...]:

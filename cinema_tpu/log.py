@@ -66,6 +66,25 @@ def get_run_tags(config) -> List[str]:
     return sorted(set(tags))
 
 
+def _synced_timestamp() -> str:
+    """Run timestamp, broadcast from process 0 under multi-host SPMD so every
+    process derives the SAME run directory name."""
+    import time as _time
+
+    t = int(_time.time())
+    try:
+        import jax
+
+        if jax.process_count() > 1:
+            import numpy as _np
+            from jax.experimental import multihost_utils
+
+            t = int(multihost_utils.broadcast_one_to_all(_np.int64(t)))
+    except Exception:  # jax not initialized yet: single-process
+        pass
+    return _time.strftime("%Y%m%d_%H%M%S", _time.localtime(t))
+
+
 def init_run_dir(
     config,
     tags: Optional[List[str]] = None,
@@ -86,7 +105,7 @@ def init_run_dir(
             tags = []
     if out_dir is None:
         base = Path(config.logging.dir) if config.get("logging") and config.logging.get("dir") else Path("runs")
-        name = "-".join([time.strftime("%Y%m%d_%H%M%S")] + tags[:3])
+        name = "-".join([_synced_timestamp()] + tags[:3])
         out_dir = base / name
     out_dir = Path(out_dir)
     out_dir.mkdir(parents=True, exist_ok=True)

@@ -23,6 +23,12 @@ from cinema_tpu.data.transforms import get_pretrain_transforms
 from cinema_tpu.factory import get_mae_model
 from cinema_tpu.log import get_logger, init_run_dir
 from cinema_tpu.parallel.mesh import batch_shardings, make_mesh
+from cinema_tpu.parallel.multihost import (
+    local_data_shard_count,
+    make_global_batch,
+    maybe_initialize_distributed,
+    shard_manifest,
+)
 from cinema_tpu.tasks.cli import task_main
 from cinema_tpu.train.checkpoint import (
     CheckpointRetention,
@@ -56,6 +62,9 @@ def scan_manifest(data_dir: Path, views: List[str]) -> List[str]:
 
 
 def run(config: Config) -> None:
+    # multi-host: one process per host joins the SPMD program (replaces the
+    # reference's mp.spawn + DDP rendezvous, pretrain.py:434-448)
+    maybe_initialize_distributed(bool(config.get("mesh", {}).get("multiprocess", False)))
     views = list(config.model.views)
     data_dir = Path(config.data.dir).expanduser()
     pids = scan_manifest(data_dir, views)
@@ -71,7 +80,11 @@ def run(config: Config) -> None:
     n_accum = get_n_accum_steps(
         config.train.batch_size, config.train.batch_size_per_device, mesh.shape["data"]
     )
-    local_batch = config.train.batch_size_per_device * mesh.shape["data"]
+    # per-host input pipeline: this process loads only the rows of the
+    # global batch its local devices own (reference DistributedSampler,
+    # pretrain.py:327-330)
+    pids = shard_manifest(pids, shuffle_seed=config.seed)
+    local_batch = config.train.batch_size_per_device * local_data_shard_count(mesh)
 
     transform = get_pretrain_transforms(config)
     dataset = UKBCineDataset(data_dir, pids, views=views, transform=transform, seed=config.seed)
@@ -136,7 +149,9 @@ def run(config: Config) -> None:
         shardings = batch_shardings({v: None for v in views}, mesh)
 
         def put(batch):
-            return jax.device_put({v: batch[v] for v in views}, shardings)
+            # single-process: device_put; multi-host: global array assembled
+            # from each process's local rows (parallel/multihost.py)
+            return make_global_batch({v: batch[v] for v in views}, shardings)
 
         # two-deep host->HBM prefetch overlaps input transfer with the step
         for device_batch in device_prefetch(iter(loader), put, depth=2):

@@ -22,14 +22,20 @@ logger = get_logger(__name__)
 
 
 def save_checkpoint(ckpt_dir: Union[str, Path], state: Any, epoch: int) -> Path:
-    """Save a train state under ckpt_dir/ckpt_{epoch}."""
+    """Save a train state under ckpt_dir/ckpt_{epoch}.
+
+    Multi-host: every process calls this with the same path; the state's
+    (possibly non-fully-addressable) global arrays are saved directly —
+    orbax coordinates the distributed write. Single-process keeps the
+    host-gathered save (cheap, and robust over the remote-device tunnel).
+    """
     ckpt_dir = Path(ckpt_dir)
     ckpt_dir.mkdir(parents=True, exist_ok=True)
     path = (ckpt_dir / f"ckpt_{epoch}").absolute()
-    if path.exists():
+    if path.exists() and jax.process_index() == 0:
         shutil.rmtree(path)
     with ocp.StandardCheckpointer() as ckptr:
-        ckptr.save(path, jax.device_get(state))
+        ckptr.save(path, jax.device_get(state) if jax.process_count() == 1 else state)
     return path
 
 
@@ -64,12 +70,25 @@ class CheckpointRetention:
 
 
 def save_params_safetensors(params: Any, path: Union[str, Path]) -> None:
-    """Export params as torch-layout safetensors (reference distribution format)."""
+    """Export params as torch-layout safetensors (reference distribution format).
+
+    Multi-host: params may be sharded across processes — all-gather the
+    global values (every process participates in the collective), then only
+    process 0 writes the file.
+    """
     from safetensors.numpy import save_file
 
     from cinema_tpu.bridge.torch_loader import params_to_torch_state_dict
 
-    state_dict = params_to_torch_state_dict(jax.device_get(params))
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        host_params = multihost_utils.process_allgather(params, tiled=True)
+        if jax.process_index() != 0:
+            return
+    else:
+        host_params = jax.device_get(params)
+    state_dict = params_to_torch_state_dict(host_params)
     save_file({k: np.ascontiguousarray(v) for k, v in state_dict.items()}, str(path))
 
 

@@ -19,11 +19,31 @@ import numpy as np
 from cinema_tpu.config import Config, save_config
 from cinema_tpu.data.datasets import BatchLoader, device_prefetch
 from cinema_tpu.log import get_logger, init_run_dir
+from cinema_tpu.parallel.mesh import batch_shardings, make_mesh
 from cinema_tpu.train.checkpoint import CheckpointRetention, save_checkpoint, save_params_safetensors
 from cinema_tpu.train.optim import EarlyStopping, build_optimizer, get_n_accum_steps
 from cinema_tpu.train.state import make_supervised_train_step, make_train_state
 
 logger = get_logger(__name__)
+
+
+def pick_n_data(
+    n_devices: int, batch_size: int, batch_size_per_device: int, n_samples: int
+) -> int:
+    """Largest data-parallel width that keeps the global batch divisible.
+
+    The reference's DDP world size is fixed by visible GPUs and the config
+    must match (cinema/optim.py:122-143); here the mesh adapts instead: the
+    'data' axis is the largest n <= n_devices with
+    ``batch_size % (batch_size_per_device * n) == 0`` and a local batch that
+    the dataset can fill (so tiny smoke datasets still train).
+    """
+    cap = min(n_devices, max(batch_size // batch_size_per_device, 1))
+    cap = min(cap, max(n_samples // batch_size_per_device, 1))
+    for n in range(cap, 0, -1):
+        if batch_size % (batch_size_per_device * n) == 0:
+            return n
+    return 1
 
 
 class MetricsLogger:
@@ -111,9 +131,26 @@ def run_train(
             ds.seed = config.seed  # reproducible per-item augmentations
     config = maybe_reduce_batch_size(config, len(train_dataset))
 
+    # SPMD mesh (reference fine-tuning is single-GPU, cinema/train.py:171;
+    # here the loop shards over a ('data','model') mesh like pretraining)
+    mesh_cfg = config.get("mesh", {})
+    n_model = int(mesh_cfg.get("n_model", 1))
+    n_data = mesh_cfg.get("n_data")
+    if n_data is None:
+        n_data = pick_n_data(
+            len(jax.devices()) // n_model,
+            config.train.batch_size,
+            config.train.batch_size_per_device,
+            len(train_dataset),
+        )
+    mesh = make_mesh(n_data=int(n_data), n_model=n_model)
+    local_batch = config.train.batch_size_per_device * mesh.shape["data"]
+    if mesh.shape["data"] * mesh.shape["model"] > 1:
+        logger.info(f"mesh: data={mesh.shape['data']} model={mesh.shape['model']}")
+
     train_loader = BatchLoader(
         train_dataset,
-        batch_size=config.train.batch_size_per_device,
+        batch_size=local_batch,
         shuffle=True,
         drop_last=True,
         n_workers=config.train.get("n_workers", 4),
@@ -127,7 +164,7 @@ def run_train(
     n_accum_steps = get_n_accum_steps(
         batch_size=config.train.batch_size,
         batch_size_per_device=config.train.batch_size_per_device,
-        world_size=1,
+        world_size=mesh.shape["data"],
     )
     steps_per_epoch = max(len(train_loader) // n_accum_steps, 1)
 
@@ -164,9 +201,12 @@ def run_train(
         freeze_mask=None,
         accum_steps=n_accum_steps,
     )
-    state, _ = make_train_state(init_fn, tx)
+    fsdp = bool(mesh_cfg.get("fsdp", False))
+    state, state_shardings = make_train_state(init_fn, tx, mesh, fsdp=fsdp)
     if pretrained:
         new_params, freeze_mask = load_pretrained_fn(state.params, config)
+        # restore the mesh placement (loaded params are host/uncommitted)
+        new_params = jax.device_put(new_params, state_shardings.params)
         state = state.replace(params=new_params)
         if config.model.get("freeze_pretrained") and freeze_mask is not None:
             # rebuild optimizer with the freeze mask applied
@@ -184,9 +224,18 @@ def run_train(
                 freeze_mask=freeze_mask,
                 accum_steps=n_accum_steps,
             )
-            state = state.replace(opt_state=tx.init(state.params))
+            abstract_opt = jax.eval_shape(tx.init, state.params)
+            from cinema_tpu.parallel.mesh import param_shardings
 
-    step_fn = make_supervised_train_step(model, tx, loss_fn, donate=True)
+            opt_shardings = param_shardings(abstract_opt, mesh, fsdp=fsdp)
+            state = state.replace(
+                opt_state=jax.jit(tx.init, out_shardings=opt_shardings)(state.params)
+            )
+            state_shardings = state_shardings.replace(opt_state=opt_shardings)
+
+    step_fn = make_supervised_train_step(
+        model, tx, loss_fn, mesh=mesh, state_shardings=state_shardings, donate=True
+    )
 
     # run dir + run.json (tags + flattened config — the reference's wandb
     # run record, log.py:45-76/train.py:243-257)
@@ -206,9 +255,8 @@ def run_train(
         epoch_metrics: Dict[str, list] = {}
 
         def put(batch):
-            return jax.device_put(
-                {k: v for k, v in batch.items() if isinstance(v, np.ndarray)}
-            )
+            arrays = {k: v for k, v in batch.items() if isinstance(v, np.ndarray)}
+            return jax.device_put(arrays, batch_shardings(arrays, mesh))
 
         for device_batch in device_prefetch(iter(train_loader), put, depth=2):
             state, metrics = step_fn(state, device_batch, rng)

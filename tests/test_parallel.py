@@ -197,3 +197,75 @@ def test_fsdp_shards_large_params_and_matches_replicated(monkeypatch):
         # reduce-scatter/all-gather reassociation vs the replicated psum:
         # tiny absolute noise on near-zero params is expected
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+
+def test_distributed_supervised_seg_train_step():
+    """ACDC-style ConvUNetR fine-tune step on a 4x2 (data x model) mesh —
+    the mesh-wired analog of the reference's single-GPU run_train
+    (cinema/train.py:171-351)."""
+    from cinema_tpu.models.convunetr import ConvUNetR
+    from cinema_tpu.tasks.segmentation import segmentation_loss_fn
+    from cinema_tpu.train.state import make_supervised_train_step
+
+    mesh = make_mesh(n_model=2)
+    model = ConvUNetR(
+        image_size_dict={"sax": SAX_SIZE},
+        in_chans_dict={"sax": 1},
+        out_chans=4,
+        enc_patch_size_dict={"sax": (4, 4, 1)},
+        enc_scale_factor_dict={"sax": (2, 2, 1)},
+        enc_conv_chans=(8, 16),
+        enc_conv_n_blocks=1,
+        enc_embed_dim=16,
+        enc_depth=2,
+        enc_n_heads=2,
+        dec_chans=(4, 8, 16, 16),
+        dec_patch_size_dict={"sax": (4, 4, 1)},
+        dec_scale_factor_dict={"sax": (2, 2, 1)},
+    )
+    rng = np.random.default_rng(0)
+    batch = {
+        "sax_image": jnp.asarray(rng.normal(size=(8, *SAX_SIZE, 1)), jnp.float32),
+        "sax_label": jnp.asarray(rng.integers(0, 4, size=(8, *SAX_SIZE)), jnp.int32),
+    }
+
+    def init_fn():
+        return model.init(jax.random.PRNGKey(0), {"sax": batch["sax_image"][:1]})
+
+    tx = build_optimizer(jax.eval_shape(init_fn), lr=1e-3, warmup_steps=0, max_n_steps=10)
+    state, shardings = make_train_state(init_fn, tx, mesh, fsdp=True)
+    step = make_supervised_train_step(
+        model, tx, segmentation_loss_fn, mesh=mesh, state_shardings=shardings, donate=False
+    )
+    sharded = jax.device_put(batch, batch_shardings(batch, mesh))
+    new_state, metrics = step(state, sharded, jax.random.PRNGKey(0))
+    assert int(new_state.step) == 1
+    assert int(new_state.n_samples) == 8
+    assert np.isfinite(float(metrics["loss"]))
+    # matches the single-device step numerically
+    state1, _ = make_train_state(init_fn, tx)
+    step1 = make_supervised_train_step(model, tx, segmentation_loss_fn, donate=False)
+    ref_state, ref_metrics = step1(state1, batch, jax.random.PRNGKey(0))
+    np.testing.assert_allclose(
+        float(metrics["loss"]), float(ref_metrics["loss"]), rtol=1e-5
+    )
+    for a, b in zip(
+        jax.tree_util.tree_leaves(new_state.params),
+        jax.tree_util.tree_leaves(ref_state.params),
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+
+def test_run_train_uses_mesh(tmp_path, monkeypatch):
+    """run_train shards its train step over the ('data','model') mesh: the
+    picked data width obeys batch divisibility (pick_n_data) and the loop
+    runs on >1 device end-to-end (tested via the ACDC task smoke elsewhere;
+    here: the width logic)."""
+    from cinema_tpu.train.loop import pick_n_data
+
+    assert pick_n_data(8, 32, 4, 1000) == 8
+    assert pick_n_data(8, 32, 4, 8) == 2      # dataset caps local batch
+    assert pick_n_data(8, 6, 1, 1000) == 6    # divisibility: 6 % (1*n) == 0
+    assert pick_n_data(8, 7, 1, 1000) == 7
+    assert pick_n_data(8, 4, 4, 1000) == 1
+    assert pick_n_data(1, 32, 4, 1000) == 1

@@ -171,7 +171,14 @@ def volume_seg_eval(
 
 def rescan_seg_eval(config: Config, split: str, out_dir: Path, model, params) -> None:
     """Labeled rescan: per-frame sliding-window seg metrics over the cine
-    dataset (reference segmentation/rescan/eval.py)."""
+    dataset (reference segmentation/rescan/eval.py).
+
+    Frames of one study are batched into shared forwards (chunks of
+    ``eval.frames_per_forward``, default 8) — the reference dispatches each
+    frame alone at batch 1 (segmentation/train.py:204-210); a 50-frame study
+    here is ~7 dispatches instead of 50. The tail chunk is wrap-padded to
+    reuse the compiled shape; padded rows' metrics are dropped.
+    """
     from cinema_tpu.data.datasets import CineSegmentationDataset
     from cinema_tpu.metrics import segmentation_metrics
 
@@ -181,19 +188,39 @@ def rescan_seg_eval(config: Config, split: str, out_dir: Path, model, params) ->
     dataset = CineSegmentationDataset(
         data_dir / split, meta_df, views=config.model.views, transform=val_transform
     )
-    loader = BatchLoader(dataset, batch_size=1, n_workers=config.train.get("n_workers", 4))
     patch_size_dict, spacing_dict = patch_and_spacing_dicts(config)
     forward = make_seg_forward(model)
+    chunk = int(config.get("eval", {}).get("frames_per_forward", 8))
+
+    # group the frame-expanded index by study (same pid => same geometry)
+    by_pid: Dict[str, List[int]] = {}
+    for idx, (row_idx, _t) in enumerate(dataset.index_map):
+        by_pid.setdefault(str(dataset.meta_df.iloc[row_idx]["pid"]), []).append(idx)
 
     rows: List[Dict] = []
-    for batch in loader:
-        _, metrics = segmentation_eval_batch(
-            forward, params, batch, patch_size_dict, spacing_dict, segmentation_metrics,
-            z_bucket=config.get("eval", {}).get("z_bucket", 4),
-        )
-        metrics["pid"] = batch["pid"][0]
-        metrics["frame"] = int(np.asarray(batch["frame"]).reshape(-1)[0])
-        rows.append(metrics)
+    for pid, indices in by_pid.items():
+        for start in range(0, len(indices), chunk):
+            ids = indices[start : start + chunk]
+            n_real = len(ids)
+            while len(ids) < chunk:  # wrap-pad to the compiled batch shape
+                ids.append(indices[(start + len(ids)) % len(indices)])
+            samples = [dataset[i] for i in ids]
+            batch = {
+                k: np.stack([np.asarray(s[k]) for s in samples])
+                for k in samples[0]
+                if isinstance(samples[0][k], np.ndarray)
+            }
+            batch["pid"] = [s["pid"] for s in samples]
+            _, frame_metrics = segmentation_eval_batch(
+                forward, params, batch, patch_size_dict, spacing_dict, segmentation_metrics,
+                z_bucket=config.get("eval", {}).get("z_bucket", 4),
+                per_sample=True,
+            )
+            for i in range(n_real):
+                m = frame_metrics[i]
+                m["pid"] = pid
+                m["frame"] = int(np.asarray(samples[i]["frame"]).reshape(-1)[0])
+                rows.append(m)
     df = pd.DataFrame(rows)
     out_dir.mkdir(parents=True, exist_ok=True)
     df.to_csv(out_dir / "metrics.csv", index=False)

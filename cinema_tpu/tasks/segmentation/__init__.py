@@ -68,8 +68,9 @@ def segmentation_eval_batch(
     metrics_fn: Optional[Callable] = segmentation_metrics,
     aggregation: str = "softmax",
     z_bucket: Optional[int] = None,
-) -> Tuple[Dict[str, jnp.ndarray], Dict[str, float]]:
-    """Evaluate one (batch=1) study: sliding window -> crop padding -> metrics
+    per_sample: bool = False,
+) -> Tuple[Dict[str, jnp.ndarray], Any]:
+    """Evaluate one study batch: sliding window -> crop padding -> metrics
     (reference segmentation/train.py:289-358).
 
     z_bucket: when set, 3D views are zero-padded so the slice count is a
@@ -79,6 +80,11 @@ def segmentation_eval_batch(
     window positions near the z end shift slightly vs the unbucketed grid
     (sub-0.1%-Dice-level boundary-averaging drift). Pass None for the
     reference's exact per-shape grids.
+
+    per_sample: the batch dim may carry several frames of ONE study (same
+    width/height/n_slices — cine eval batches frames into one forward where
+    the reference loops batch=1, segmentation/train.py:204-210); returns a
+    LIST of per-frame metric dicts instead of scalars for frame 0.
     """
     views = list(patch_size_dict.keys())
     image_dict = {v: jnp.asarray(batch[f"{v}_image"]) for v in views}
@@ -106,20 +112,32 @@ def segmentation_eval_batch(
 
     logits_dict = {v: crop_to_original(logits_dict[v], v) for v in views}
     if metrics_fn is None or f"{views[0]}_label" not in batch:
-        return logits_dict, {}
+        return logits_dict, ([] if per_sample else {})
 
-    metrics: Dict[str, float] = {}
+    per_view: Dict[str, Dict[str, np.ndarray]] = {}
     metric_keys: List[str] = []
     for view in views:
         label = jnp.asarray(batch[f"{view}_label"])
         label = crop_start(label, logits_dict[view].shape[:-1])
         metrics_view = metrics_fn(logits_dict[view], label, spacing_dict[view])
         metric_keys = list(metrics_view.keys())
-        for k, v in metrics_view.items():
-            metrics[f"{view}_{k}"] = float(np.asarray(v, dtype=np.float64).reshape(-1)[0])
-    for k in metric_keys:
-        metrics[k] = float(np.mean([metrics[f"{view}_{k}"] for view in views]))
-    return logits_dict, metrics
+        per_view[view] = {
+            k: np.asarray(v, dtype=np.float64).reshape(-1) for k, v in metrics_view.items()
+        }
+
+    def row(i: int) -> Dict[str, float]:
+        out: Dict[str, float] = {}
+        for view in views:
+            for k, v in per_view[view].items():
+                out[f"{view}_{k}"] = float(v[i])
+        for k in metric_keys:
+            out[k] = float(np.mean([out[f"{view}_{k}"] for view in views]))
+        return out
+
+    if per_sample:
+        n = next(iter(logits_dict.values())).shape[0]
+        return logits_dict, [row(i) for i in range(n)]
+    return logits_dict, row(0)
 
 
 def patch_and_spacing_dicts(config: Config) -> Tuple[Dict[str, tuple], Dict[str, tuple]]:

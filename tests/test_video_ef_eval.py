@@ -95,3 +95,38 @@ def test_rescan_ef_eval_executes(tmp_path):
     mean = pd.read_csv(out_dir / "mean_metrics.csv")
     assert len(mean) == 1
     assert any(np.isfinite(v) for v in summary.values() if isinstance(v, float))
+
+
+def test_rescan_seg_eval_frame_batched(tmp_path):
+    """Labeled rescan seg eval: frames batched into shared forwards
+    (chunks of eval.frames_per_forward) with per-frame metric rows — vs the
+    reference's one dispatch per frame (segmentation/train.py:204-210)."""
+    from cinema_tpu.tasks.evaluate import rescan_seg_eval
+
+    rng = np.random.default_rng(2)
+    root = tmp_path / "rescan_labeled"
+    rows = []
+    for pid in ["scan_00_A", "scan_01_A"]:
+        d = root / "train" / pid
+        d.mkdir(parents=True)
+        n_frames = 5  # not divisible by the chunk: exercises tail wrap-pad
+        video = rng.uniform(0, 255, size=(16, 16, 4, n_frames)).astype(np.float32)
+        labels = rng.integers(0, 4, size=(16, 16, 4, n_frames)).astype(np.uint8)
+        save_nifti(d / "sax_t.nii.gz", video, spacing=(1, 1, 10, 1))
+        save_nifti(d / "sax_gt_t.nii.gz", labels, spacing=(1, 1, 10, 1))
+        rows.append({"pid": pid, "n_slices": 4, "n_frames": n_frames})
+    pd.DataFrame(rows).to_csv(root / "train_metadata.csv", index=False)
+
+    cfg = apply_overrides(
+        load_config(CONFIG_DIR / "segmentation" / "rescan.yaml"),
+        [f"data.dir={root}", *_TINY, "eval.frames_per_forward=4"],
+    )
+    model, params = _tiny_model(cfg)
+    out_dir = tmp_path / "seg_out"
+    rescan_seg_eval(cfg, "train", out_dir, model, params)
+
+    df = pd.read_csv(out_dir / "metrics.csv")
+    assert len(df) == 10  # 2 pids x 5 frames, padded rows dropped
+    assert sorted(df["frame"].unique().tolist()) == [0, 1, 2, 3, 4]
+    assert df["mean_dice_score"].between(0, 1).all()
+    assert (tmp_path / "seg_out" / "mean_metrics.csv").exists()

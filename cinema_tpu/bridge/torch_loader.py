@@ -220,8 +220,15 @@ def load_torch_state_dict(
 
 
 def params_to_torch_state_dict(params: Any) -> Dict[str, np.ndarray]:
-    """Export a flax param tree to torch-named/-layouted tensors (inverse bridge)."""
-    wrapped = isinstance(params, dict) and set(params.keys()) == {"params"}
+    """Export a flax param tree to torch-named/-layouted tensors (inverse bridge).
+
+    Variable dicts with a ``batch_stats`` collection (BatchNorm models, e.g.
+    the ResNet baselines) export their running statistics as torch
+    ``running_mean``/``running_var`` entries alongside the params.
+    """
+    wrapped = isinstance(params, dict) and "params" in params and set(params.keys()) <= {
+        "params", "batch_stats"
+    }
     inner = params["params"] if wrapped else params
     out: Dict[str, np.ndarray] = {}
     for path, value in _flatten(inner).items():
@@ -236,6 +243,15 @@ def params_to_torch_state_dict(params: Any) -> Dict[str, np.ndarray]:
                 nd = v.ndim - 2
                 v = np.transpose(v, (nd + 1, nd) + tuple(range(nd)))
         out[torch_key] = np.ascontiguousarray(v)
+    if wrapped and "batch_stats" in params:
+        stat_names = {"mean": "running_mean", "var": "running_var"}
+        for path, value in _flatten(params["batch_stats"]).items():
+            # reuse the params key-munging (layer1_0 -> layer1.0, drop
+            # wrapper levels) by mapping a fake 'bias' leaf on the parent
+            parent = flax_path_to_torch_key((*path[:-1], "bias"))
+            prefix = parent[: -len(".bias")] if parent else ""
+            key = (prefix + "." if prefix else "") + stat_names.get(path[-1], path[-1])
+            out[key] = np.ascontiguousarray(np.asarray(value))
     return out
 
 

@@ -37,8 +37,11 @@ def sliding_window_forward(
     Args:
         forward_fn: batched model forward, image_dict -> logits_dict
             (channels-last).
-        image_dict: per-view (1, *spatial, ch); at most one view larger than
-            its patch size (reference restriction, segmentation/train.py:184-188).
+        image_dict: per-view (batch, *spatial, ch); at most one view larger
+            than its patch size (reference restriction,
+            segmentation/train.py:184-188). The batch dim may carry several
+            frames of one study — frames and patches fold into ONE forward
+            (the reference loops both serially at batch 1).
         patch_size_dict: per-view inference patch size.
         aggregation: 'softmax' (mutually exclusive classes: softmax-average
             then log) or 'sigmoid' (independent channels: sigmoid-average
@@ -62,23 +65,23 @@ def sliding_window_forward(
     if sum(need_patch.values()) > 1:
         raise ValueError(f"Only support patching on one view for now, but got {need_patch}.")
     batch = image_dict[views[0]].shape[0]
-    if batch != 1:
-        raise ValueError(f"Expected batch size 1 for patching, but got {batch}.")
 
     view_to_patch = next(v for v, n in need_patch.items() if n)
-    image = image_dict[view_to_patch][0]  # (*spatial, ch)
+    images = image_dict[view_to_patch]  # (batch, *spatial, ch)
     patch_size = tuple(patch_size_dict[view_to_patch])
-    image_size = image.shape[:-1]
+    image_size = images.shape[1:-1]
     overlap = tuple(s // 2 for s in patch_size)
     grid = get_patch_grid(image_size, patch_size, overlap)
-    patches = patch_grid_sample(image, grid, patch_size)  # (n_patches, *patch, ch)
-    n_patches = patches.shape[0]
+    # (batch, n_patches, *patch, ch) -> fold frames x patches into ONE batch
+    patches = jax.vmap(lambda img: patch_grid_sample(img, grid, patch_size))(images)
+    n_patches = patches.shape[1]
+    flat_patches = patches.reshape(batch * n_patches, *patches.shape[2:])
 
-    # one batched forward: tile the other views across the patch batch
+    # frame-major ordering: other views repeat per patch of their frame
     patch_image_dict = {
-        view: patches
+        view: flat_patches
         if view == view_to_patch
-        else jnp.broadcast_to(image_dict[view], (n_patches, *image_dict[view].shape[1:]))
+        else jnp.repeat(image_dict[view], n_patches, axis=0)
         for view in views
     }
     logits_dict = forward_fn(patch_image_dict)
@@ -88,13 +91,14 @@ def sliding_window_forward(
     out: Dict[str, jnp.ndarray] = {}
     for view in views:
         logits = logits_dict[view].astype(jnp.float32)
+        probs = to_probs(logits, axis=-1) if aggregation == "softmax" else to_probs(logits)
+        probs = probs.reshape(batch, n_patches, *probs.shape[1:])
         if view == view_to_patch:
-            probs = to_probs(logits, axis=-1) if aggregation == "softmax" else to_probs(logits)
-            probs = aggregate_patches(probs, grid, image_size)
-            out[view] = from_probs(probs)[None]
+            out[view] = from_probs(
+                jax.vmap(lambda p: aggregate_patches(p, grid, image_size))(probs)
+            )
         else:
-            probs = to_probs(logits, axis=-1) if aggregation == "softmax" else to_probs(logits)
-            out[view] = from_probs(jnp.mean(probs, axis=0))[None]
+            out[view] = from_probs(jnp.mean(probs, axis=1))
     return out
 
 

@@ -18,21 +18,14 @@ from cinema_tpu.models.layers import Conv, Dense
 Dtype = Any
 
 
-class BatchNorm(nn.Module):
-    """BatchNorm over batch+spatial axes with running stats (torch semantics)."""
+def BatchNorm(name: str) -> nn.BatchNorm:
+    """Torch-semantics BatchNorm (momentum 0.9 == torch 0.1, eps 1e-5).
 
-    momentum: float = 0.9
-    epsilon: float = 1e-5
-
-    @nn.compact
-    def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
-        return nn.BatchNorm(
-            use_running_average=deterministic,
-            momentum=self.momentum,
-            epsilon=self.epsilon,
-            dtype=jnp.float32,
-            name="bn",
-        )(x)
+    A plain nn.BatchNorm so the param tree is flat (bn1.{scale,bias} +
+    batch_stats bn1.{mean,var}) and exports to torch
+    bn1.{weight,bias,running_mean,running_var} through the bridge.
+    """
+    return nn.BatchNorm(momentum=0.9, epsilon=1e-5, dtype=jnp.float32, name=name)
 
 
 class BasicBlock(nn.Module):
@@ -46,16 +39,18 @@ class BasicBlock(nn.Module):
     def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
         nd = x.ndim - 2
         identity = x
-        out = Conv(self.planes, (3,) * nd, strides=self.strides, padding="SAME", use_bias=False,
-                   dtype=self.dtype, name="conv1")(x)
-        out = BatchNorm(name="bn1")(out, deterministic)
+        # explicit (1,1) padding: torch pads 3x3 stride-2 convs symmetrically,
+        # which differs from XLA's asymmetric SAME at stride 2
+        out = Conv(self.planes, (3,) * nd, strides=self.strides, padding=((1, 1),) * nd,
+                   use_bias=False, dtype=self.dtype, name="conv1")(x)
+        out = BatchNorm("bn1")(out, use_running_average=deterministic)
         out = nn.relu(out)
         out = Conv(self.planes, (3,) * nd, padding="SAME", use_bias=False, dtype=self.dtype, name="conv2")(out)
-        out = BatchNorm(name="bn2")(out, deterministic)
+        out = BatchNorm("bn2")(out, use_running_average=deterministic)
         if x.shape[-1] != self.planes or any(s != 1 for s in self.strides):
             identity = Conv(self.planes, (1,) * nd, strides=self.strides, padding="VALID",
                             use_bias=False, dtype=self.dtype, name="downsample_conv")(x)
-            identity = BatchNorm(name="downsample_bn")(identity, deterministic)
+            identity = BatchNorm("downsample_bn")(identity, use_running_average=deterministic)
         return nn.relu(out + identity)
 
 
@@ -73,18 +68,18 @@ class Bottleneck(nn.Module):
         identity = x
         out_planes = self.planes * self.expansion
         out = Conv(self.planes, (1,) * nd, padding="VALID", use_bias=False, dtype=self.dtype, name="conv1")(x)
-        out = BatchNorm(name="bn1")(out, deterministic)
+        out = BatchNorm("bn1")(out, use_running_average=deterministic)
         out = nn.relu(out)
-        out = Conv(self.planes, (3,) * nd, strides=self.strides, padding="SAME", use_bias=False,
-                   dtype=self.dtype, name="conv2")(out)
-        out = BatchNorm(name="bn2")(out, deterministic)
+        out = Conv(self.planes, (3,) * nd, strides=self.strides, padding=((1, 1),) * nd,
+                   use_bias=False, dtype=self.dtype, name="conv2")(out)
+        out = BatchNorm("bn2")(out, use_running_average=deterministic)
         out = nn.relu(out)
         out = Conv(out_planes, (1,) * nd, padding="VALID", use_bias=False, dtype=self.dtype, name="conv3")(out)
-        out = BatchNorm(name="bn3")(out, deterministic)
+        out = BatchNorm("bn3")(out, use_running_average=deterministic)
         if x.shape[-1] != out_planes or any(s != 1 for s in self.strides):
             identity = Conv(out_planes, (1,) * nd, strides=self.strides, padding="VALID",
                             use_bias=False, dtype=self.dtype, name="downsample_conv")(x)
-            identity = BatchNorm(name="downsample_bn")(identity, deterministic)
+            identity = BatchNorm("downsample_bn")(identity, use_running_average=deterministic)
         return nn.relu(out + identity)
 
 
@@ -112,11 +107,13 @@ class ResNet(nn.Module):
         x = next(iter(image_dict.values()))
         nd = x.ndim - 2
 
-        x = Conv(self.layer_inplanes[0], (7,) * nd, strides=(2,) * nd, padding="SAME",
+        # torch-exact stem: 7x7 stride 2 with symmetric padding 3 (SAME pads
+        # (2,3) at stride 2 on even sizes -> different pixels)
+        x = Conv(self.layer_inplanes[0], (7,) * nd, strides=(2,) * nd, padding=((3, 3),) * nd,
                  use_bias=False, dtype=self.dtype, name="conv1")(x)
-        x = BatchNorm(name="bn1")(x, deterministic)
+        x = BatchNorm("bn1")(x, use_running_average=deterministic)
         x = nn.relu(x)
-        x = nn.max_pool(x, (3,) * nd, strides=(2,) * nd, padding="SAME")
+        x = nn.max_pool(x, (3,) * nd, strides=(2,) * nd, padding=((1, 1),) * nd)
 
         block_cls = Bottleneck if self.bottleneck else BasicBlock
         for stage, (n_blocks, planes) in enumerate(zip(self.layers, self.layer_inplanes)):

@@ -45,18 +45,22 @@ def _auto_block_q(
 
 
 def _auto_block_q_fwd(n_q: int, n_k_pad: int, requested: int, budget: int) -> int:
-    """Forward q-block: among 128-multiples within the VMEM cap, minimize
-    q padding (encoder Tq=769 at block 384 pads 50%; block 128 pads 16%).
-    Ties prefer the larger block (fewer programs). The backward keeps the
-    coarse choice — more q-blocks mean more dk/dv revisits, measured 1.26x
-    slower at fine blocks on v5e."""
+    """Forward q-block: take a finer 128-multiple than the VMEM cap only
+    when it cuts padded q rows by >= 20% — each extra program re-reads the
+    K/V panels, so chasing small padding savings loses (measured on v5e:
+    encoder Tq=769 block 384->128 saves 22% rows and 3%, but decoder
+    Tq=2305 block 384->128 saves 9.5% rows and runs 2.3x SLOWER). The
+    backward always keeps the coarse choice — more q-blocks also mean more
+    dk/dv revisits (1.26x slower at fine blocks)."""
     cap = _auto_block_q(_round_up(n_q, 128), n_k_pad, requested, budget)
-    best = cap
-    best_waste = _round_up(n_q, cap) - n_q
+    cap_rows = _round_up(n_q, cap)
+    best, best_rows = cap, cap_rows
     for block in range(128, cap + 1, 128):
-        waste = _round_up(n_q, block) - n_q
-        if waste < best_waste or (waste == best_waste and block > best):
-            best, best_waste = block, waste
+        rows = _round_up(n_q, block)
+        if rows < best_rows or (rows == best_rows and block > best):
+            best, best_rows = block, rows
+    if cap_rows - best_rows < 0.2 * cap_rows:
+        return cap
     return best
 
 

@@ -126,8 +126,11 @@ def test_sliding_window_errors():
             {"a": jnp.ones((1, 12, 8, 1)), "b": jnp.ones((1, 12, 8, 1))},
             {"a": (8, 8), "b": (8, 8)},
         )
-    with pytest.raises(ValueError, match="batch size 1"):
-        sliding_window_forward(fn, {"a": jnp.ones((2, 12, 8, 1))}, {"a": (8, 8)})
+    # batch > 1 with patching is supported: frames fold into the patch batch
+    out = sliding_window_forward(
+        lambda d: {"a": d["a"]}, {"a": jnp.ones((2, 12, 8, 1))}, {"a": (8, 8)}
+    )
+    assert out["a"].shape == (2, 12, 8, 1)
 
 
 def test_sliding_window_sigmoid_aggregation():
@@ -345,3 +348,113 @@ def test_eval_z_bucketing_shares_shapes_and_matches():
         if "hausdorff" in k:
             continue
         np.testing.assert_allclose(m5[k], m5_exact[k], atol=0.05, err_msg=k)
+
+
+# --------------------------------------------------- serial-loop parity
+def _reference_serial_window(forward_fn, image_dict, patch_size_dict, aggregation):
+    """The reference's EXACT inference semantics, transcribed: serial
+    batch-1 patch loop (segmentation/train.py:204-210), numpy scatter-add
+    sum + count then divide (transform.py:86-124), prob-space average for
+    non-patched views, log / logit restore."""
+    views = list(image_dict.keys())
+    need_patch = {
+        v: tuple(image_dict[v].shape[1:-1]) != tuple(patch_size_dict[v]) for v in views
+    }
+    view_to_patch = next(v for v, n in need_patch.items() if n)
+    image = np.asarray(image_dict[view_to_patch])  # (B, *spatial, ch)
+    batch = image.shape[0]
+    patch_size = tuple(patch_size_dict[view_to_patch])
+    image_size = image.shape[1:-1]
+
+    # reference get_patch_grid: overlap = patch // 2, tail-aligned
+    axes = []
+    for img_dim, p in zip(image_size, patch_size):
+        step = p - p // 2
+        idx = list(range(0, img_dim - p + 1, step))
+        if idx[-1] != img_dim - p:
+            idx.append(img_dim - p)
+        axes.append(idx)
+    import itertools
+
+    grid = list(itertools.product(*axes))
+
+    def to_probs(x):
+        x = np.asarray(x, np.float64)
+        if aggregation == "softmax":
+            e = np.exp(x - x.max(axis=-1, keepdims=True))
+            return e / e.sum(axis=-1, keepdims=True)
+        return 1.0 / (1.0 + np.exp(-x))
+
+    outs = []
+    for b in range(batch):
+        acc = None
+        count = np.zeros(image_size)
+        other_probs = {}
+        for start in grid:
+            sl = tuple(slice(s, s + p) for s, p in zip(start, patch_size))
+            patch_dict = {
+                v: jnp.asarray(image[b][sl][None])
+                if v == view_to_patch
+                else image_dict[v][b : b + 1]
+                for v in views
+            }
+            logits = forward_fn(patch_dict)
+            probs = to_probs(logits[view_to_patch][0])
+            if acc is None:
+                acc = np.zeros((*image_size, probs.shape[-1]))
+            acc[sl] += probs
+            count[sl] += 1.0
+            for v in views:
+                if v != view_to_patch:
+                    other_probs.setdefault(v, []).append(to_probs(logits[v][0]))
+        avg = acc / count[..., None]
+        row = {}
+        if aggregation == "softmax":
+            restore = np.log
+        else:
+            restore = lambda p: np.log(np.clip(p, 1e-7, 1 - 1e-7)) - np.log1p(
+                -np.clip(p, 1e-7, 1 - 1e-7)
+            )
+        row[view_to_patch] = restore(avg)
+        for v, plist in other_probs.items():
+            row[v] = restore(np.mean(plist, axis=0))
+        outs.append(row)
+    return {
+        v: np.stack([o[v] for o in outs]) for v in outs[0]
+    }
+
+
+@pytest.mark.parametrize("aggregation", ["softmax", "sigmoid"])
+def test_sliding_window_matches_reference_serial_loop(aggregation):
+    """Off-size study (z overflows the patch) through a REAL tiny ConvUNetR:
+    our one-batched-forward path must reproduce the reference's serial
+    per-patch loop exactly (softmax-average + log / sigmoid + logit
+    restore), including a multi-frame batch."""
+    from cinema_tpu.models.convunetr import ConvUNetR
+
+    model = ConvUNetR(
+        image_size_dict={"sax": (16, 16, 4)},
+        in_chans_dict={"sax": 1},
+        out_chans=3,
+        enc_patch_size_dict={"sax": (4, 4, 1)},
+        enc_scale_factor_dict={"sax": (2, 2, 1)},
+        enc_conv_chans=(4, 8),
+        enc_conv_n_blocks=1,
+        enc_embed_dim=16,
+        enc_depth=1,
+        enc_n_heads=2,
+        dec_chans=(4, 8, 12, 16),
+        dec_patch_size_dict={"sax": (4, 4, 1)},
+        dec_scale_factor_dict={"sax": (2, 2, 1)},
+    )
+    rng = np.random.default_rng(0)
+    # z=10 > patch z=4 -> z starts [0, 2, 4, 6]; two frames in the batch
+    images = {"sax": jnp.asarray(rng.normal(size=(2, 16, 16, 10, 1)), jnp.float32)}
+    params = model.init(jax.random.PRNGKey(0), {"sax": images["sax"][:, :, :, :4]})
+    forward = lambda d: model.apply(params, d)
+
+    got = sliding_window_forward(forward, images, {"sax": (16, 16, 4)}, aggregation)
+    want = _reference_serial_window(forward, images, {"sax": (16, 16, 4)}, aggregation)
+    np.testing.assert_allclose(
+        np.asarray(got["sax"]), want["sax"], atol=1e-4, rtol=1e-4
+    )

@@ -519,3 +519,248 @@ class ConvUNetR(nn.Module):
             out = self.decoder_dict[v](embeddings)
             preds[v] = self.pred_head_dict[v](out)
         return preds
+
+
+# --------------------------------------------------------------- ConvViT
+class ConvViT(nn.Module):
+    """Mirrors cinema_tpu.models.convvit.ConvViT (reference convvit.py:335-613):
+    per-view stems + fusion, shared encoder, per-view + cls heads with
+    reduce in {patch, all, cls}."""
+
+    def __init__(
+        self,
+        image_size_dict,
+        in_chans_dict,
+        n_frames,
+        out_chans,
+        enc_patch_size_dict,
+        enc_scale_factor_dict,
+        enc_conv_chans,
+        enc_conv_n_blocks,
+        enc_embed_dim,
+        enc_depth,
+        enc_n_heads,
+    ):
+        super().__init__()
+        self.views = list(image_size_dict.keys())
+        self.enc_down_dict = nn.ModuleDict(
+            {
+                v: DownsampleEncoder(
+                    image_size_dict[v],
+                    n_frames * in_chans_dict[v],
+                    enc_patch_size_dict[v],
+                    enc_scale_factor_dict[v],
+                    enc_conv_chans,
+                    enc_conv_n_blocks,
+                    enc_embed_dim,
+                )
+                for v in self.views
+            }
+        )
+        self.enc_fusion_dict = nn.ModuleDict(
+            {
+                v: MultiScaleFusion(
+                    image_size_dict[v],
+                    enc_patch_size_dict[v],
+                    enc_scale_factor_dict[v],
+                    enc_conv_chans,
+                    enc_embed_dim,
+                )
+                for v in self.views
+            }
+        )
+        self.encoder = ViTEncoder(enc_embed_dim, enc_depth, enc_n_heads)
+        self.pred_head_dict = nn.ModuleDict(
+            {v: nn.Linear(enc_embed_dim, out_chans) for v in [*self.views, "cls"]}
+        )
+
+    def feature_forward(self, image_dict):
+        views = list(image_dict.keys())
+        xs, ns_patch, skips_view = [], [], {}
+        for v in views:
+            skips, x = self.enc_down_dict[v](image_dict[v], None)
+            ns_patch.append(x.shape[1])
+            skips_view[v] = skips
+            xs.append(x)
+        x = self.encoder(torch.cat(xs, dim=1))
+        xs = list(torch.split(x, [1, *ns_patch], dim=1))
+        x_dict = dict(zip(["cls", *views], xs))
+        for v in views:
+            x_dict[v] = self.enc_fusion_dict[v](skips_view[v], x_dict[v], mask=None)
+        return x_dict
+
+    def forward(self, image_dict, reduce="all"):
+        x_dict = self.feature_forward(image_dict)
+        if reduce == "patch":
+            logits = torch.cat(
+                [self.pred_head_dict[v](x_dict[v].mean(dim=1, keepdim=True)) for v in self.views],
+                dim=1,
+            )
+            return logits.mean(dim=1)
+        if reduce == "all":
+            logits = torch.cat(
+                [self.pred_head_dict[v](x_dict[v].mean(dim=1, keepdim=True)) for v in self.views]
+                + [self.pred_head_dict["cls"](x_dict["cls"])],
+                dim=1,
+            )
+            return logits.mean(dim=1)
+        if reduce == "cls":
+            return self.pred_head_dict["cls"](x_dict["cls"])[:, 0]
+        raise NotImplementedError(reduce)
+
+
+# -------------------------------------------------------------- UNet
+def norm_nd(nd, norm, chans):
+    if norm == "instance":
+        cls = nn.InstanceNorm2d if nd == 2 else nn.InstanceNorm3d
+        return cls(chans, eps=1e-6)
+    return ConvLayerNorm(chans, eps=1e-6)
+
+
+class UNetConvResBlock(nn.Module):
+    """ConvResBlock with selectable norm (reference conv.py:276-346; the
+    ConvUNetR path above hard-codes layer norm)."""
+
+    def __init__(self, nd, in_chans, out_chans, kernel_size=3, norm="instance"):
+        super().__init__()
+        self.norm1 = norm_nd(nd, norm, in_chans)
+        self.norm2 = norm_nd(nd, norm, out_chans)
+        self.conv1 = conv_nd(nd)(in_chans, out_chans, kernel_size=kernel_size, padding="same")
+        self.conv2 = conv_nd(nd)(out_chans, out_chans, kernel_size=kernel_size, padding="same")
+        self.shortcut = (
+            conv_nd(nd)(in_chans, out_chans, kernel_size=1) if in_chans != out_chans else nn.Identity()
+        )
+
+    def forward(self, x):
+        h = self.conv1(F.gelu(self.norm1(x)))
+        h = self.conv2(F.gelu(self.norm2(h)))
+        return h + self.shortcut(x)
+
+
+class UNet(nn.Module):
+    """Mirrors cinema_tpu.models.unet.UNet (reference segmentation/unet.py:
+    12-308): residual encoder recording every block output, decoder with a
+    skip add at every res block and end-padding on upsample mismatch."""
+
+    def __init__(self, nd, in_chans, out_chans, chans, patch_size=2, scale_factor=2,
+                 kernel_size=3, n_blocks=2, norm="instance"):
+        super().__init__()
+        self.nd = nd
+        chans = tuple(chans)
+
+        def tup(v):
+            return (v,) * nd if isinstance(v, int) else tuple(v)
+
+        enc = nn.Module()
+        enc.in_conv = nn.Module()
+        enc.in_conv.conv = conv_nd(nd)(in_chans, chans[0], kernel_size=kernel_size, padding="same")
+        enc.in_conv.norm = norm_nd(nd, norm, chans[0])
+        enc.blocks = nn.ModuleList()
+        for i, ch in enumerate(chans):
+            blk = nn.Module()
+            blk.conv = nn.ModuleList(
+                [UNetConvResBlock(nd, ch, ch, kernel_size, norm) for _ in range(n_blocks)]
+            )
+            if i < len(chans) - 1:
+                k = tup(patch_size if i == 0 else scale_factor)
+                blk.down = conv_nd(nd)(ch, chans[i + 1], kernel_size=k, stride=k)
+            enc.blocks.append(blk)
+        self.encoder = enc
+
+        dec = nn.Module()
+        dec.blocks = nn.ModuleList()
+        chans_rev = chans[::-1]
+        for i, ch in enumerate(chans_rev):
+            blk = nn.Module()
+            blk.conv = nn.ModuleList(
+                [UNetConvResBlock(nd, ch, ch, kernel_size, norm) for _ in range(n_blocks)]
+            )
+            if i < len(chans) - 1:
+                k = tup(patch_size if i == len(chans) - 2 else scale_factor)
+                blk.up = conv_transpose_nd(nd)(ch, chans[-i - 2], kernel_size=k, stride=k)
+            dec.blocks.append(blk)
+        self.decoder = dec
+        self.out_conv = conv_nd(nd)(chans[0], out_chans, kernel_size=1)
+
+    def forward(self, image_dict):
+        view = next(iter(image_dict))
+        x = image_dict[view]
+        x = F.gelu(self.encoder.in_conv.norm(self.encoder.in_conv.conv(x)))
+        embeddings = [x]
+        for i, blk in enumerate(self.encoder.blocks):
+            for conv in blk.conv:
+                x = conv(x)
+                embeddings.append(x)
+            if i < len(self.encoder.blocks) - 1:
+                x = blk.down(x)
+                embeddings.append(x)
+        x = embeddings.pop()
+        n = len(self.decoder.blocks)
+        for i, blk in enumerate(self.decoder.blocks):
+            for conv in blk.conv:
+                x = conv(x) + embeddings.pop()
+            if i < n - 1:
+                x = blk.up(x)
+                skipped = embeddings.pop()
+                if x.shape != skipped.shape:
+                    pad = []
+                    for s, t in zip(reversed(skipped.shape), reversed(x.shape)):
+                        pad += [0, s - t]
+                    x = F.pad(x, pad)
+                x = x + skipped
+        return {view: self.out_conv(x)}
+
+
+# ------------------------------------------------------------- ResNet
+class ResNetBasicBlock(nn.Module):
+    """Mirrors torchvision BasicBlock / reference resnet.py:49-106."""
+
+    def __init__(self, nd, in_planes, planes, stride=1):
+        super().__init__()
+        self.conv1 = conv_nd(nd)(in_planes, planes, 3, stride=stride, padding=1, bias=False)
+        self.bn1 = (nn.BatchNorm2d if nd == 2 else nn.BatchNorm3d)(planes)
+        self.conv2 = conv_nd(nd)(planes, planes, 3, padding=1, bias=False)
+        self.bn2 = (nn.BatchNorm2d if nd == 2 else nn.BatchNorm3d)(planes)
+        self.downsample_conv = None
+        if in_planes != planes or stride != 1:
+            self.downsample_conv = conv_nd(nd)(in_planes, planes, 1, stride=stride, bias=False)
+            self.downsample_bn = (nn.BatchNorm2d if nd == 2 else nn.BatchNorm3d)(planes)
+
+    def forward(self, x):
+        identity = x
+        out = F.relu(self.bn1(self.conv1(x)))
+        out = self.bn2(self.conv2(out))
+        if self.downsample_conv is not None:
+            identity = self.downsample_bn(self.downsample_conv(x))
+        return F.relu(out + identity)
+
+
+class ResNet(nn.Module):
+    """Mirrors cinema_tpu.models.resnet.ResNet (reference resnet.py
+    ResNet2d/ResNet3d, torchvision-style, basic blocks)."""
+
+    def __init__(self, nd, in_chans, out_chans, layers, layer_inplanes):
+        super().__init__()
+        self.nd = nd
+        self.conv1 = conv_nd(nd)(in_chans, layer_inplanes[0], 7, stride=2, padding=3, bias=False)
+        self.bn1 = (nn.BatchNorm2d if nd == 2 else nn.BatchNorm3d)(layer_inplanes[0])
+        self.maxpool = (nn.MaxPool2d if nd == 2 else nn.MaxPool3d)(3, stride=2, padding=1)
+        in_planes = layer_inplanes[0]
+        for stage, (n_blocks, planes) in enumerate(zip(layers, layer_inplanes)):
+            blocks = []
+            for b in range(n_blocks):
+                stride = 2 if (stage > 0 and b == 0) else 1
+                blocks.append(ResNetBasicBlock(nd, in_planes, planes, stride))
+                in_planes = planes
+            setattr(self, f"layer{stage + 1}", nn.ModuleList(blocks))
+        self.n_stages = len(layers)
+        self.fc = nn.Linear(layer_inplanes[-1], out_chans)
+
+    def forward(self, image_dict):
+        x = next(iter(image_dict.values()))
+        x = self.maxpool(F.relu(self.bn1(self.conv1(x))))
+        for stage in range(self.n_stages):
+            for block in getattr(self, f"layer{stage + 1}"):
+                x = block(x)
+        x = x.mean(dim=tuple(range(2, x.ndim)))
+        return self.fc(x)

@@ -209,13 +209,24 @@ class Conv(nn.Module):
         kernel = tuple(self.kernel_size)
         in_chans = x.shape[-1]
         fan_in = (in_chans // self.feature_group_count) * math.prod(kernel)
-        # NOTE: a Pallas K-folded conv exists for the 3^nd small-C case
-        # (ops/pallas/conv3d.py, bit-exact, 3.1x faster than the conv in
-        # ISOLATION) but is deliberately NOT dispatched: inside the real
-        # ConvResBlock graph XLA's producer/consumer fusion makes its own
-        # conv ~21 ms where the kernel costs 25 ms + broken fusion, a net
-        # serving regression (28.1 -> 23.7 frames/s measured end-to-end).
-        # See the kernel docstring for the measurements.
+        # Small-C 3x3x3 convs (the ConvUNetR finest decoder levels) run at
+        # <10% MXU: both contraction and output channels are 4x lane-padded
+        # at C=32. The z-folded banded form below trades ~Z/3x redundant
+        # FLOPs for full-depth MXU matmuls — measured 2.4x on v5e at
+        # (8,192,192,16,32). (A Pallas K-folded conv was tried first:
+        # ops/pallas/conv3d.py, bit-exact and 3.1x in ISOLATION, but the
+        # pallas_call boundary breaks XLA's producer fusion and serving
+        # regressed 28.1 -> 23.7 frames/s end-to-end.)
+        if _zfold_profitable(x.shape, kernel, self.strides, self.padding,
+                             self.feature_group_count, self.features):
+            return _ZFoldConv3(
+                features=self.features,
+                kernel_size=kernel,
+                use_bias=self.use_bias,
+                fan_in=fan_in,
+                dtype=self.dtype,
+                name="conv",
+            )(x)
         return nn.Conv(
             features=self.features,
             kernel_size=kernel,
@@ -229,6 +240,92 @@ class Conv(nn.Module):
             param_dtype=jnp.float32,
             name="conv",
         )(x)
+
+
+def _zfold_profitable(
+    x_shape, kernel, strides, padding: str, groups: int, features: int
+) -> bool:
+    """Dispatch condition for the z-folded banded conv.
+
+    Profitable when the lane-padding loss (128/C)^2 exceeds the band's
+    Z/3 FLOP overhead: true for C<=48 with Z*C spanning >=1 lane tile.
+    The weight blowup (3,3,Z*Ci,Z*Co) is capped at ~16MB f32.
+    """
+    import os
+
+    if os.environ.get("CINEMA_TPU_ZFOLD", "1") == "0":
+        return False
+    if len(x_shape) != 5 or kernel != (3, 3, 3) or groups != 1 or padding != "SAME":
+        return False
+    if strides is not None and tuple(strides) != (1, 1, 1):
+        return False
+    z, ci = x_shape[3], x_shape[4]
+    if ci > 48 or features > 48:
+        return False
+    if z * ci < 128 or z * features < 128:
+        return False
+    return 9 * z * ci * z * features * 4 <= 16 * 2**20
+
+
+def zfold_weight(w: jnp.ndarray, z: int) -> jnp.ndarray:
+    """(3,3,3,Ci,Co) kernel -> (3,3,Z*Ci,Z*Co) block-banded 2D kernel.
+
+    Folding z into channels turns the 3-tap z convolution into a banded
+    channel mixing: entry (z_in,ci),(z_out,co) is w[:, :, z_in-z_out+1]
+    when |z_in-z_out| <= 1, else 0 — z boundaries are handled exactly by
+    the band's edge (no z padding exists to leak).
+    """
+    _, _, _, ci, co = w.shape
+    out = jnp.zeros((3, 3, z * ci, z * co), w.dtype)
+    for zo in range(z):
+        for dz in (-1, 0, 1):
+            zi = zo + dz
+            if 0 <= zi < z:
+                out = out.at[:, :, zi * ci : (zi + 1) * ci, zo * co : (zo + 1) * co].set(
+                    w[:, :, dz + 1]
+                )
+    return out
+
+
+class _ZFoldConv3(nn.Module):
+    """nn.Conv-compatible 3x3x3 SAME conv as a z-folded banded 2D conv.
+
+    Param tree identical to nn.Conv (kernel (3,3,3,Ci,Co) + bias), so
+    checkpoints are unaffected; only the compute layout changes. The
+    (B,X,Y,Z,C)->(B,X,Y,Z*C) reshape merges adjacent minor dims — free, no
+    relayout — and the 2D conv contracts over 9*Z*Ci lanes at full MXU
+    depth instead of 4x-padded C=32 tiles.
+    """
+
+    features: int
+    kernel_size: Tuple[int, ...]
+    use_bias: bool
+    fan_in: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        batch, xs, ys, z, ci = x.shape
+        w = self.param(
+            "kernel",
+            torch_default_kernel_init,
+            (*self.kernel_size, ci, self.features),
+            jnp.float32,
+        )
+        w2 = zfold_weight(w.astype(self.dtype), z)
+        x2 = x.astype(self.dtype).reshape(batch, xs, ys, z * ci)
+        out = jax.lax.conv_general_dilated(
+            x2,
+            w2,
+            window_strides=(1, 1),
+            padding="SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        out = out.reshape(batch, xs, ys, z, self.features)
+        if self.use_bias:
+            b = self.param("bias", torch_default_bias_init(self.fan_in), (self.features,), jnp.float32)
+            out = out + b.astype(out.dtype)
+        return out
 
 
 class _PallasConv3(nn.Module):

@@ -59,7 +59,14 @@ def bench_pretrain(profile_dir=None) -> float:
     from cinema_tpu.train.optim import build_optimizer
     from cinema_tpu.train.state import make_mae_train_step, make_train_state
 
-    model = _build_mae(VIEW_SIZES_FULL, "base", jnp.bfloat16)
+    import os
+
+    # CINEMA_BENCH_SCAN=1 builds the nn.scan-blocks variant (compile-time
+    # comparison; the compile_s output line is the measurement)
+    model = _build_mae(
+        VIEW_SIZES_FULL, "base", jnp.bfloat16,
+        scan_blocks=os.environ.get("CINEMA_BENCH_SCAN", "0") == "1",
+    )
     rng = np.random.default_rng(0)
     batch = {
         v: jnp.asarray(rng.normal(size=(BATCH, *s, 1)).astype(np.float32))
@@ -87,8 +94,12 @@ def bench_pretrain(profile_dir=None) -> float:
 
     key = jax.random.PRNGKey(0)
     flops_per_step = 0.0
+    compile_s = 0.0
     try:
-        flops_per_step = _flops_of(step.lower(state, batch, key).compile())
+        t0 = time.perf_counter()
+        compiled = step.lower(state, batch, key).compile()
+        compile_s = time.perf_counter() - t0
+        flops_per_step = _flops_of(compiled)
     except Exception:
         pass
 
@@ -119,6 +130,7 @@ def bench_pretrain(profile_dir=None) -> float:
         "step_ms": round(dt * 1000, 1),
         "achieved_tflops": round(tflops, 1),
         "mfu": round(mfu, 4),
+        "compile_s": round(compile_s, 1),
     }
 
 

@@ -219,6 +219,29 @@ def load_torch_state_dict(
     return out, missing, unused
 
 
+def _unstack_scanned(flat: Dict[Tuple[str, ...], Any]) -> Dict[Tuple[str, ...], Any]:
+    """Split nn.scan-stacked block params (path .../blocks/block/... with a
+    leading depth axis) into per-layer ``blocks_{i}`` paths, so scanned
+    models export to the same torch state_dict as the unrolled layout."""
+    out: Dict[Tuple[str, ...], Any] = {}
+    for path, value in flat.items():
+        idx = next(
+            (
+                i
+                for i in range(len(path) - 1)
+                if path[i] == "blocks" and path[i + 1] == "block"
+            ),
+            None,
+        )
+        if idx is None:
+            out[path] = value
+            continue
+        v = np.asarray(value)
+        for d in range(v.shape[0]):
+            out[path[:idx] + (f"blocks_{d}",) + path[idx + 2 :]] = v[d]
+    return out
+
+
 def params_to_torch_state_dict(params: Any) -> Dict[str, np.ndarray]:
     """Export a flax param tree to torch-named/-layouted tensors (inverse bridge).
 
@@ -231,7 +254,7 @@ def params_to_torch_state_dict(params: Any) -> Dict[str, np.ndarray]:
     }
     inner = params["params"] if wrapped else params
     out: Dict[str, np.ndarray] = {}
-    for path, value in _flatten(inner).items():
+    for path, value in _unstack_scanned(_flatten(inner)).items():
         torch_key = flax_path_to_torch_key(path)
         if torch_key is None:
             continue

@@ -73,6 +73,7 @@ def get_mae_model(config: Config, dtype: Dtype = jnp.float32, remat: Optional[bo
         dec_depth=vit["dec_depth"],
         dec_n_heads=vit["dec_n_heads"],
         remat=config.get("grad_ckpt", False) if remat is None else remat,
+        scan_blocks=bool(config.model.get("scan_blocks", False)),
         dtype=dtype,
     )
 

@@ -111,17 +111,36 @@ class LayerNorm(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, segments: int = 1) -> jnp.ndarray:
+        """segments > 1: x's last dim is ``segments`` folded channel groups
+        (the z-folded decoder layout, see _ZFoldConv3); normalization is per
+        C-group with matmul-computed stats so the whole op stays in the
+        dense-lane folded layout — params are (C,) exactly as unfolded."""
         orig_dtype = x.dtype
         x = x.astype(jnp.float32)
-        mean = jnp.mean(x, axis=-1, keepdims=True)
-        var = jnp.mean(jnp.square(x - mean), axis=-1, keepdims=True)
-        y = (x - mean) * jax.lax.rsqrt(var + self.epsilon)
-        features = x.shape[-1]
+        features = x.shape[-1] // segments
+        if segments == 1:
+            mean = jnp.mean(x, axis=-1, keepdims=True)
+            var = jnp.mean(jnp.square(x - mean), axis=-1, keepdims=True)
+            y = (x - mean) * jax.lax.rsqrt(var + self.epsilon)
+        else:
+            # segment-mean via matmul (MXU) + broadcast-back via the 0/1
+            # transpose; centered-square form keeps the stats stable
+            sel = (
+                jnp.arange(segments * features)[:, None] // features
+                == jnp.arange(segments)[None, :]
+            ).astype(jnp.float32)
+            m = x @ (sel / features)
+            mean_full = m @ sel.T
+            cen = x - mean_full
+            var = (cen * cen) @ (sel / features)
+            y = cen * (jax.lax.rsqrt(var + self.epsilon) @ sel.T)
         if self.use_scale:
-            y = y * self.param("scale", nn.initializers.ones, (features,), jnp.float32)
+            scale = self.param("scale", nn.initializers.ones, (features,), jnp.float32)
+            y = y * (jnp.tile(scale, segments) if segments > 1 else scale)
         if self.use_bias:
-            y = y + self.param("bias", nn.initializers.zeros, (features,), jnp.float32)
+            bias = self.param("bias", nn.initializers.zeros, (features,), jnp.float32)
+            y = y + (jnp.tile(bias, segments) if segments > 1 else bias)
         return y.astype(self.dtype if self.dtype is not None else orig_dtype)
 
 
@@ -205,8 +224,21 @@ class Conv(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, folded_z: Optional[int] = None) -> jnp.ndarray:
         kernel = tuple(self.kernel_size)
+        if folded_z is not None:
+            # x arrives z-folded (B, X, Y, Z*Ci) and stays folded (see
+            # _ZFoldConv3); only 3x3x3 and 1x1x1 SAME convs reach here
+            in_chans = x.shape[-1] // folded_z
+            fan_in = in_chans * math.prod(kernel)
+            return _ZFoldConv3(
+                features=self.features,
+                kernel_size=kernel,
+                use_bias=self.use_bias,
+                fan_in=fan_in,
+                dtype=self.dtype,
+                name="conv",
+            )(x, folded_z=folded_z)
         in_chans = x.shape[-1]
         fan_in = (in_chans // self.feature_group_count) * math.prod(kernel)
         # Small-C 3x3x3 convs (the ConvUNetR finest decoder levels) run at
@@ -268,21 +300,23 @@ def _zfold_profitable(
 
 
 def zfold_weight(w: jnp.ndarray, z: int) -> jnp.ndarray:
-    """(3,3,3,Ci,Co) kernel -> (3,3,Z*Ci,Z*Co) block-banded 2D kernel.
+    """(3,3,3,Ci,Co) kernel -> (3,3,Z*Ci,Z*Co) block-banded 2D kernel;
+    (1,1,1,Ci,Co) -> (1,1,Z*Ci,Z*Co) block-diagonal.
 
-    Folding z into channels turns the 3-tap z convolution into a banded
-    channel mixing: entry (z_in,ci),(z_out,co) is w[:, :, z_in-z_out+1]
-    when |z_in-z_out| <= 1, else 0 — z boundaries are handled exactly by
+    Folding z into channels turns the z-taps into banded channel mixing:
+    entry (z_in,ci),(z_out,co) is w[:, :, z_in-z_out+1] when
+    |z_in-z_out| <= kz//2, else 0 — z boundaries are handled exactly by
     the band's edge (no z padding exists to leak).
     """
-    _, _, _, ci, co = w.shape
-    out = jnp.zeros((3, 3, z * ci, z * co), w.dtype)
+    kx, ky, kz, ci, co = w.shape
+    half = kz // 2
+    out = jnp.zeros((kx, ky, z * ci, z * co), w.dtype)
     for zo in range(z):
-        for dz in (-1, 0, 1):
+        for dz in range(-half, half + 1):
             zi = zo + dz
             if 0 <= zi < z:
                 out = out.at[:, :, zi * ci : (zi + 1) * ci, zo * co : (zo + 1) * co].set(
-                    w[:, :, dz + 1]
+                    w[:, :, dz + half]
                 )
     return out
 
@@ -304,8 +338,15 @@ class _ZFoldConv3(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        batch, xs, ys, z, ci = x.shape
+    def __call__(self, x: jnp.ndarray, folded_z: Optional[int] = None) -> jnp.ndarray:
+        if folded_z is None:
+            batch, xs, ys, z, ci = x.shape
+            x2 = x.astype(self.dtype).reshape(batch, xs, ys, z * ci)
+        else:
+            z = folded_z
+            batch, xs, ys = x.shape[:3]
+            ci = x.shape[-1] // z
+            x2 = x.astype(self.dtype)
         w = self.param(
             "kernel",
             torch_default_kernel_init,
@@ -313,7 +354,6 @@ class _ZFoldConv3(nn.Module):
             jnp.float32,
         )
         w2 = zfold_weight(w.astype(self.dtype), z)
-        x2 = x.astype(self.dtype).reshape(batch, xs, ys, z * ci)
         out = jax.lax.conv_general_dilated(
             x2,
             w2,
@@ -321,37 +361,12 @@ class _ZFoldConv3(nn.Module):
             padding="SAME",
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
         )
-        out = out.reshape(batch, xs, ys, z, self.features)
+        if folded_z is None:
+            out = out.reshape(batch, xs, ys, z, self.features)
         if self.use_bias:
             b = self.param("bias", torch_default_bias_init(self.fan_in), (self.features,), jnp.float32)
-            out = out + b.astype(out.dtype)
-        return out
-
-
-class _PallasConv3(nn.Module):
-    """nn.Conv-compatible wrapper over ops.pallas.conv3d.conv3_same."""
-
-    features: int
-    kernel_size: Tuple[int, ...]
-    use_bias: bool
-    fan_in: int
-    dtype: Dtype = jnp.float32
-
-    @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        from cinema_tpu.ops.pallas import conv3d
-
-        in_chans = x.shape[-1]
-        w = self.param(
-            "kernel",
-            torch_default_kernel_init,
-            (*self.kernel_size, in_chans, self.features),
-            jnp.float32,
-        )
-        out = conv3d.conv3_same(x.astype(self.dtype), w.astype(self.dtype))
-        if self.use_bias:
-            b = self.param("bias", torch_default_bias_init(self.fan_in), (self.features,), jnp.float32)
-            out = out + b.astype(out.dtype)
+            bt = jnp.tile(b, z) if folded_z is not None else b
+            out = out + bt.astype(out.dtype)
         return out
 
 
@@ -492,6 +507,32 @@ class ConvResBlock(nn.Module):
         nd = x.ndim - 2
         in_chans = x.shape[-1]
         k = _as_tuple(self.kernel_size, nd)
+        if (
+            nd == 3
+            and self.norm == "layer"
+            and (self.dropout == 0.0 or deterministic)
+            and _zfold_profitable(x.shape, k, None, "SAME", 1, self.out_chans)
+        ):
+            # whole block in the z-folded layout: the 5D (Z,C=32) minor dims
+            # tile 4x lane-padded, so every unfused LN/residual pass around a
+            # folded conv pays a relayout copy (~17ms/block measured at the
+            # serving finest level); folding once at block entry keeps all
+            # elementwise ops dense and the LN runs via matmul segment stats
+            # (measured 39.3 -> 27.9 ms/block on v5e)
+            b, xs_, ys_, z, _ = x.shape
+            x2 = x.reshape(b, xs_, ys_, z * in_chans)
+            h = get_conv_norm(self.norm, n_chans=in_chans, name="norm1")(x2, segments=z)
+            h = gelu(h)
+            h = Conv(self.out_chans, k, padding="SAME", dtype=self.dtype, name="conv1")(h, folded_z=z)
+            h = get_conv_norm(self.norm, n_chans=self.out_chans, name="norm2")(h, segments=z)
+            h = gelu(h)
+            h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
+            h = Conv(self.out_chans, k, padding="SAME", dtype=self.dtype, name="conv2")(h, folded_z=z)
+            if in_chans != self.out_chans:
+                x2 = Conv(
+                    self.out_chans, (1,) * nd, padding="VALID", dtype=self.dtype, name="shortcut"
+                )(x2, folded_z=z)
+            return (h + x2).reshape(b, xs_, ys_, z, self.out_chans)
         h = get_conv_norm(self.norm, n_chans=in_chans, name="norm1")(x)
         h = gelu(h)
         h = Conv(self.out_chans, k, padding="SAME", dtype=self.dtype, name="conv1")(h)

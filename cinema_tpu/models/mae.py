@@ -140,6 +140,10 @@ class CineMA(nn.Module):
     mlp_type: str = "mlp"
     attn_impl: str = "auto"
     remat: bool = False
+    # nn.scan over transformer blocks: one compiled block body per stack
+    # (compile-time lever; params gain a leading depth axis — see
+    # vit._scanned_blocks_cls)
+    scan_blocks: bool = False
     # run stems on visible cells only during masked training (exact for
     # per-position norms — see ops/sparse_cells.py; auto-disabled otherwise)
     sparse_masking: bool = True
@@ -196,6 +200,7 @@ class CineMA(nn.Module):
             mlp_type=self.mlp_type,
             attn_impl=self.attn_impl,
             remat=self.remat,
+            scan_blocks=self.scan_blocks,
             dtype=self.dtype,
         )
         self.dec_linear = Dense(self.dec_embed_dim, dtype=self.dtype)
@@ -220,6 +225,7 @@ class CineMA(nn.Module):
             mlp_type=self.mlp_type,
             attn_impl=self.attn_impl,
             remat=self.remat,
+            scan_blocks=self.scan_blocks,
             dtype=self.dtype,
         )
         self.pred_head_dict = {

@@ -168,3 +168,44 @@ def test_get_vit_config():
     assert get_vit_config("base")["enc_embed_dim"] == 768
     with pytest.raises(ValueError):
         get_vit_config("massive")
+
+
+def test_scan_blocks_matches_unrolled():
+    """nn.scan over Blocks (compile-time lever): same math as the unrolled
+    loop, and the bridge unstacks scanned params to the same torch keys."""
+    import numpy as np
+
+    from cinema_tpu.bridge.torch_loader import params_to_torch_state_dict
+    from cinema_tpu.models.vit import ViTEncoder
+
+    depth = 3
+    kwargs = dict(embed_dim=16, depth=depth, n_heads=2)
+    plain = ViTEncoder(**kwargs)
+    scanned = ViTEncoder(**kwargs, scan_blocks=True)
+
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(2, 5, 16)), jnp.float32)
+    p_plain = plain.init(jax.random.PRNGKey(0), x)
+
+    # restack the unrolled per-block subtrees into the scanned layout
+    enc = dict(p_plain["params"])
+    stacked = jax.tree_util.tree_map(
+        lambda *leaves: jnp.stack(leaves), *[enc.pop(f"blocks_{i}") for i in range(depth)]
+    )
+    enc["blocks"] = {"block": stacked}
+    p_scan = {"params": enc}
+
+    got = scanned.apply(p_scan, x)
+    want = plain.apply(p_plain, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-6)
+
+    # feature_forward parity (per-layer stacking path)
+    got_f = scanned.apply(p_scan, x, method="feature_forward")
+    want_f = plain.apply(p_plain, x, method="feature_forward")
+    np.testing.assert_allclose(np.asarray(got_f), np.asarray(want_f), atol=1e-6)
+
+    # bridge export: identical torch keys and values
+    sd_plain = params_to_torch_state_dict(p_plain)
+    sd_scan = params_to_torch_state_dict(p_scan)
+    assert set(sd_plain) == set(sd_scan)
+    for k in sd_plain:
+        np.testing.assert_allclose(sd_plain[k], sd_scan[k], atol=0, err_msg=k)

@@ -253,7 +253,9 @@ def test_distributed_supervised_seg_train_step():
         jax.tree_util.tree_leaves(new_state.params),
         jax.tree_util.tree_leaves(ref_state.params),
     ):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+        # reduce-scatter/all-gather reassociation vs the single-device psum:
+        # tiny absolute noise through the Adam rescale is expected
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=3e-4)
 
 
 def test_run_train_uses_mesh(tmp_path, monkeypatch):

@@ -100,6 +100,14 @@ def bench_pretrain(profile_dir=None) -> float:
         compiled = step.lower(state, batch, key).compile()
         compile_s = time.perf_counter() - t0
         flops_per_step = _flops_of(compiled)
+        if profile_dir:
+            # TPU-compiled HLO: tools/profile_breakdown.py joins its
+            # metadata op_names onto the trace for per-component ms/step
+            import pathlib
+
+            pathlib.Path(profile_dir).mkdir(parents=True, exist_ok=True)
+            with open(f"{profile_dir}/step.hlo.txt", "w") as f:
+                f.write(compiled.as_text())
     except Exception:
         pass
 

@@ -25,6 +25,10 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 DEFAULT_BLOCK_Q = 512
+# Softmax in the log2 domain: exp(x) lowers to exp2(x * log2e) on the VPU,
+# so folding log2e into the attention scale (applied to the small (bq, d)
+# q tile, not the (bq, tk) score tile) saves one full-width multiply pass.
+_LOG2E = 1.4426950408889634
 # VMEM budget for the (block_q, n_k) f32 score/probability buffers; the
 # compiler materializes ~5 of them live (scores/exp/probs/dprobs/dscores)
 _SCORE_VMEM_BUDGET = 10 * 2**20
@@ -75,26 +79,30 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, n_k: int):
     v = v_ref[0, 0, :, :].astype(jnp.float32)  # (tk, d)
 
     scores = jax.lax.dot_general(
-        q * scale,
+        q * (scale * _LOG2E),
         k,
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
-    )  # (bq, tk)
+    )  # (bq, tk), log2 domain
 
     tk_pad = scores.shape[-1]
     if tk_pad != n_k:
         col = jax.lax.broadcasted_iota(jnp.int32, scores.shape, dimension=1)
         scores = jnp.where(col < n_k, scores, -jnp.inf)
 
-    scores = scores - jnp.max(scores, axis=-1, keepdims=True)
-    probs = jnp.exp(scores)
-    denom = jnp.sum(probs, axis=-1, keepdims=True)
-    out = jax.lax.dot_general(
+    probs = jnp.exp2(scores - jnp.max(scores, axis=-1, keepdims=True))
+    # The softmax denominator rides the PV matmul: a ones column appended to
+    # v lands in MXU lane padding (d < 128), so rowsum(probs) costs no extra
+    # MXU time and skips a full (bq, tk) VPU reduction pass.
+    v_aug = jnp.concatenate([v, jnp.ones((v.shape[0], 1), jnp.float32)], axis=1)
+    out_aug = jax.lax.dot_general(
         probs,
-        v,
+        v_aug,
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-    ) / denom
+    )
+    d = v.shape[1]
+    out = out_aug[:, :d] / out_aug[:, d : d + 1]
     o_ref[0, 0, :, :] = out.astype(o_ref.dtype)
 
 
@@ -208,16 +216,17 @@ def _flash_bwd_kernel(
     o = o_ref[0, 0].astype(jnp.float32)
 
     scores = jax.lax.dot_general(
-        q * scale, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        q * (scale * _LOG2E), k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )
     tk_pad = scores.shape[-1]
     if tk_pad != n_k:
         col = jax.lax.broadcasted_iota(jnp.int32, scores.shape, dimension=1)
         scores = jnp.where(col < n_k, scores, -jnp.inf)
-    scores = scores - jnp.max(scores, axis=-1, keepdims=True)
-    exp = jnp.exp(scores)
+    exp = jnp.exp2(scores - jnp.max(scores, axis=-1, keepdims=True))
     probs = exp / jnp.sum(exp, axis=-1, keepdims=True)
 
+    # dprobs deliberately does NOT depend on the softmax recompute above, so
+    # Mosaic overlaps this matmul (MXU) with the exp/reduction chain (VPU).
     delta = jnp.sum(g * o, axis=-1, keepdims=True)  # (bq, 1)
     dprobs = jax.lax.dot_general(
         g, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
@@ -334,7 +343,7 @@ def _packed_fwd_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, n_k: int, he
         col = jax.lax.broadcasted_iota(jnp.int32, (q_all.shape[0], tk_pad), dimension=1)
     for h in range(heads):
         sl = slice(h * d, (h + 1) * d)
-        qh = q_all[:, sl].astype(jnp.float32) * scale
+        qh = q_all[:, sl].astype(jnp.float32) * (scale * _LOG2E)
         kh = k_all[:, sl].astype(jnp.float32)
         vh = v_all[:, sl].astype(jnp.float32)
         scores = jax.lax.dot_general(
@@ -342,12 +351,15 @@ def _packed_fwd_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, n_k: int, he
         )
         if col is not None:
             scores = jnp.where(col < n_k, scores, -jnp.inf)
-        scores = scores - jnp.max(scores, axis=-1, keepdims=True)
-        probs = jnp.exp(scores)
-        denom = jnp.sum(probs, axis=-1, keepdims=True)
-        out = jax.lax.dot_general(
-            probs, vh, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-        ) / denom
+        probs = jnp.exp2(scores - jnp.max(scores, axis=-1, keepdims=True))
+        # denominator rides the PV matmul (ones column in MXU lane padding)
+        v_aug = jnp.concatenate(
+            [vh, jnp.ones((vh.shape[0], 1), jnp.float32)], axis=1
+        )
+        out_aug = jax.lax.dot_general(
+            probs, v_aug, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        out = out_aug[:, :d] / out_aug[:, d : d + 1]
         o_ref[0, :, sl] = out.astype(o_ref.dtype)
 
 
@@ -377,14 +389,18 @@ def _packed_bwd_kernel(
         oh = o_ref[0, :, sl].astype(jnp.float32)
 
         scores = jax.lax.dot_general(
-            qh * scale, kh, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            qh * (scale * _LOG2E),
+            kh,
+            (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
         )
         if col is not None:
             scores = jnp.where(col < n_k, scores, -jnp.inf)
-        scores = scores - jnp.max(scores, axis=-1, keepdims=True)
-        exp = jnp.exp(scores)
+        exp = jnp.exp2(scores - jnp.max(scores, axis=-1, keepdims=True))
         probs = exp / jnp.sum(exp, axis=-1, keepdims=True)
 
+        # dprobs does not depend on the softmax recompute: MXU/VPU overlap
+        # (the g_s = g/denom variant serialized them and lost 10-14%).
         delta = jnp.sum(gh * oh, axis=-1, keepdims=True)
         dprobs = jax.lax.dot_general(
             gh, vh, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32

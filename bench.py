@@ -197,22 +197,27 @@ def bench_serving() -> dict:
     put batch in sublanes — chunk 10 pads to 16 (measured 23.6 frames/s)
     while 8 (and 16) reach ~31 frames/s on v5e. The tail chunk reuses the
     same compiled shape by padding to 8."""
+    from cinema_tpu.inference import video_forward
+
     config, model, params = _build_convunetr(jnp.bfloat16)
     chunk = 8
-    video = np.random.default_rng(0).random((50, 192, 192, 16, 1), dtype=np.float32)
-    n_pad = (-len(video)) % chunk
-    if n_pad:
-        video = np.concatenate([video, video[:n_pad]], axis=0)
-    chunks = [jnp.asarray(video[i : i + chunk]) for i in range(0, len(video), chunk)]
-    fn = jax.jit(
-        lambda p, v: jnp.argmax(model.apply(p, {"sax": v})["sax"], axis=-1).astype(jnp.uint8)
+    video = jnp.asarray(
+        np.random.default_rng(0).random((50, 192, 192, 16, 1), dtype=np.float32)
     )
-    _sync(fn(params, chunks[0])[0, 0, 0, 0])  # compile
+    fn = jax.jit(
+        lambda p, v: video_forward(
+            lambda frames: model.apply(
+                p, {"sax": frames}, method=model.predict_labels
+            )["sax"],
+            v,
+            chunk,
+        )
+    )
+    _sync(fn(params, video)[0, 0, 0, 0])  # compile
     times = []
     for _ in range(5):
         t0 = time.perf_counter()
-        outs = [fn(params, c) for c in chunks]
-        _sync(outs[-1][0, 0, 0, 0])
+        _sync(fn(params, video)[0, 0, 0, 0])
         times.append(time.perf_counter() - t0)
     dt = sorted(times)[len(times) // 2]
     return {

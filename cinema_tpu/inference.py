@@ -102,6 +102,42 @@ def sliding_window_forward(
     return out
 
 
+def video_forward(
+    forward_fn: Callable[[jnp.ndarray], jnp.ndarray],
+    video: jnp.ndarray,
+    chunk: int,
+) -> jnp.ndarray:
+    """Run a per-frame forward over a video in fixed-size chunks, all inside
+    ONE computation (``lax.scan`` over chunks).
+
+    The reference serves cine studies with a serial batch-1 python loop
+    (examples/inference/segmentation_sax.py:110-164); chunking frames into
+    batched forwards amortizes the work, and scanning the chunks inside a
+    single jit removes the per-chunk host dispatch gap (~35 ms/chunk over a
+    remote device link, measured round 3).
+
+    Args:
+        forward_fn: (chunk, *spatial, ch) -> (chunk, *out) per-chunk forward.
+        video: (n_frames, *spatial, ch); n_frames is end-padded to a multiple
+            of ``chunk`` by repeating leading frames (trimmed from the output).
+        chunk: frames per forward (static).
+
+    Returns:
+        (n_frames, *out) stacked outputs.
+    """
+    n = video.shape[0]
+    n_pad = (-n) % chunk
+    if n_pad:
+        video = jnp.concatenate([video, video[:n_pad]], axis=0)
+    stacked = video.reshape(-1, chunk, *video.shape[1:])
+
+    def body(carry, frames):
+        return carry, forward_fn(frames)
+
+    _, outs = jax.lax.scan(body, None, stacked)
+    return outs.reshape(-1, *outs.shape[2:])[:n]
+
+
 def pad_to_multiple(
     image: np.ndarray,
     multiples: Sequence[int],

@@ -18,7 +18,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from cinema_tpu.models.convvit import DownsampleEncoder, np_cumsum
-from cinema_tpu.models.layers import Conv, ConvResBlock, ConvTranspose
+from cinema_tpu.models.layers import Conv, ConvResBlock, ConvTranspose, _zfold_profitable
 from cinema_tpu.models.vit import ViTEncoder
 
 Dtype = Any
@@ -115,16 +115,49 @@ class UpsampleDecoder(nn.Module):
         embeddings: List[Optional[jnp.ndarray]],
         deterministic: bool = True,
     ) -> jnp.ndarray:
-        """embeddings: coarsest last; None entries skip the additive skip."""
+        """embeddings: coarsest last; None entries skip the additive skip.
+
+        Fine 3D levels run entirely z-folded (see layers._ZFoldConv3): the
+        transpose-conv, the additive skip, and every ConvResBlock stay on the
+        (B, X, Y, Z*C) layout, so the only (Z, C) minor-dim relayouts are one
+        fold of the pre-up input (at the coarse resolution) and one unfold of
+        the level output — and consecutive fold/unfold reshapes cancel in
+        XLA's simplifier, including against the folded pred head.
+        """
         embeddings = list(embeddings)
         x = embeddings.pop()
         for block in self.blocks:
-            x = block["up"](x)
-            skip = embeddings.pop()
-            if skip is not None:
-                x = x + skip
-            for conv in block["conv"]:
-                x = conv(x, deterministic)
+            up = block["up"]
+            z_fold = None
+            if (
+                x.ndim == 5
+                and self.norm == "layer"
+                and (self.dropout == 0.0 or deterministic)
+                and len(up.kernel_size) == 3
+                and up.kernel_size[2] == 1
+                and tuple(up.strides)[2] == 1
+            ):
+                b, xs_, ys_, z, _ = x.shape
+                out_shape = (b, xs_ * up.strides[0], ys_ * up.strides[1], z, up.features)
+                k = (self.kernel_size,) * 3
+                if _zfold_profitable(out_shape, k, None, "SAME", 1, up.features):
+                    z_fold = z
+            if z_fold is not None:
+                b, xs_, ys_, z, ci = x.shape
+                x = up(x.reshape(b, xs_, ys_, z * ci), folded_z=z)
+                skip = embeddings.pop()
+                if skip is not None:
+                    x = x + skip.reshape(*x.shape)
+                for conv in block["conv"]:
+                    x = conv(x, deterministic, folded_z=z)
+                x = x.reshape(b, *x.shape[1:3], z, up.features)
+            else:
+                x = block["up"](x)
+                skip = embeddings.pop()
+                if skip is not None:
+                    x = x + skip
+                for conv in block["conv"]:
+                    x = conv(x, deterministic)
         return x
 
 
@@ -280,6 +313,40 @@ class ConvUNetR(nn.Module):
 
         Returns logits (batch, *image_size, out_chans) per view.
         """
+        feats = self._decode(image_dict, deterministic)
+        return {view: self.pred_head_dict[view](out) for view, out in feats.items()}
+
+    def predict_labels(
+        self,
+        image_dict: Dict[str, jnp.ndarray],
+        deterministic: bool = True,
+    ) -> Dict[str, jnp.ndarray]:
+        """Argmax segmentation labels (batch, *image_size) uint8 per view.
+
+        Serving fast path — equals ``argmax(__call__(...), -1)`` but computes
+        the 3D pred head in the z-folded class-major layout, skipping the
+        lane-padded (Z, n_classes) logits layout entirely (apply via
+        ``model.apply(params, images, method=model.predict_labels)``).
+        """
+        feats = self._decode(image_dict, deterministic)
+        labels = {}
+        for view, out in feats.items():
+            if out.ndim == 5:
+                b, xs, ys, z, c = out.shape
+                labels[view] = self.pred_head_dict[view](
+                    out.reshape(b, xs, ys, z * c), folded_argmax_z=z
+                )
+            else:
+                labels[view] = jnp.argmax(
+                    self.pred_head_dict[view](out), axis=-1
+                ).astype(jnp.uint8)
+        return labels
+
+    def _decode(
+        self,
+        image_dict: Dict[str, jnp.ndarray],
+        deterministic: bool,
+    ) -> Dict[str, jnp.ndarray]:
         views = list(image_dict.keys())
         for v in views:
             if v not in self.views:
@@ -297,7 +364,7 @@ class ConvUNetR(nn.Module):
         bounds = np_cumsum([1, *ns])
         xs = [x[:, s:e] for s, e in zip([0] + bounds[:-1], bounds)][1:]  # drop cls
 
-        preds = {}
+        feats = {}
         for i, view in enumerate(views):
             grid = self.enc_down_dict[view].grid_size
             x_view = xs[i].reshape(xs[i].shape[0], *grid, self.enc_embed_dim)
@@ -313,6 +380,5 @@ class ConvUNetR(nn.Module):
             for j, block in enumerate(self.dec_conv_blocks_dict[view]):
                 embeddings_view.append(block(skips_view[j], deterministic))
 
-            out = self.decoder_dict[view](embeddings_view, deterministic)
-            preds[view] = self.pred_head_dict[view](out)
-        return preds
+            feats[view] = self.decoder_dict[view](embeddings_view, deterministic)
+        return feats

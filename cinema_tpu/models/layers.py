@@ -224,8 +224,24 @@ class Conv(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, folded_z: Optional[int] = None) -> jnp.ndarray:
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        folded_z: Optional[int] = None,
+        folded_argmax_z: Optional[int] = None,
+    ) -> jnp.ndarray:
         kernel = tuple(self.kernel_size)
+        if folded_argmax_z is not None:
+            # serving fast path for 1x1x1 pred heads: x is z-folded
+            # (B, X, Y, Z*Ci); returns argmax labels (B, X, Y, Z) uint8
+            if kernel != (1, 1, 1) or self.feature_group_count != 1:
+                raise ValueError("folded_argmax_z requires a plain 1x1x1 conv head.")
+            return _FoldedClassMajorHead(
+                features=self.features,
+                use_bias=self.use_bias,
+                dtype=self.dtype,
+                name="conv",
+            )(x, folded_argmax_z)
         if folded_z is not None:
             # x arrives z-folded (B, X, Y, Z*Ci) and stays folded (see
             # _ZFoldConv3); only 3x3x3 and 1x1x1 SAME convs reach here
@@ -294,7 +310,10 @@ def _zfold_profitable(
     z, ci = x_shape[3], x_shape[4]
     if ci > 48 or features > 48:
         return False
-    if z * ci < 128 or z * features < 128:
+    # the banded contraction spans 9*z*ci lanes — one full MXU tile is
+    # enough (z*ci alone may be tiny, e.g. the full-res image adapter's
+    # ci=1 conv1: 9*16*1=144 lanes, vs its unfolded im2col K=27)
+    if 9 * z * ci < 128 or z * features < 128:
         return False
     return 9 * z * ci * z * features * 4 <= 16 * 2**20
 
@@ -370,6 +389,59 @@ class _ZFoldConv3(nn.Module):
         return out
 
 
+class _FoldedClassMajorHead(nn.Module):
+    """1x1x1 pred head + argmax, computed on the z-folded layout.
+
+    Param tree identical to the dense head's nn.Conv ("conv"/{kernel,bias},
+    kernel (1,1,1,Ci,n_classes)), so checkpoints are unaffected. The folded
+    head weight is built CLASS-MAJOR — output channel c*Z+z — so each
+    class's score plane is a CONTIGUOUS lane slice and the argmax is a
+    where-chain over full-lane tensors. The dense 5D head output puts
+    n_classes (=4) in the 128-lane minor dim (~6 ms/serving-chunk just to
+    write + iota-reduce that 32x-padded layout, measured on v5e).
+    """
+
+    features: int
+    use_bias: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x_folded: jnp.ndarray, z: int) -> jnp.ndarray:
+        """x_folded: (batch, X, Y, Z*Ci) -> argmax labels (batch, X, Y, Z) uint8."""
+        ci = x_folded.shape[-1] // z
+        w = self.param(
+            "kernel", torch_default_kernel_init, (1, 1, 1, ci, self.features), jnp.float32
+        )
+        w0 = w[0, 0, 0].astype(self.dtype)
+        b = (
+            self.param("bias", torch_default_bias_init(ci), (self.features,), jnp.float32)
+            if self.use_bias
+            else None
+        )
+        eye = jnp.eye(z, dtype=self.dtype)
+        x_folded = x_folded.astype(self.dtype)
+
+        # one TILE-ALIGNED (Z*Ci -> Z) matmul per class — lane-slicing a
+        # single class-major score tensor costs a sub-tile lane shift per
+        # class (measured 7.5 ms/chunk); separate matmuls keep every
+        # operand aligned and fuse the argmax compares into their epilogue
+        def class_scores(c: int) -> jnp.ndarray:
+            # wc[zin*ci + i, zout] = w[i, c] iff zin == zout
+            wc = jnp.einsum("i,ab->aib", w0[:, c], eye).reshape(z * ci, z)
+            s = jnp.einsum("...k,kn->...n", x_folded, wc)
+            return s + b[c].astype(s.dtype) if b is not None else s
+
+        # first-max semantics, same as jnp.argmax
+        best = class_scores(0)
+        idx = jnp.zeros(best.shape, jnp.uint8)
+        for c in range(1, self.features):
+            part = class_scores(c)
+            hit = part > best
+            idx = jnp.where(hit, jnp.uint8(c), idx)
+            best = jnp.where(hit, part, best)
+        return idx
+
+
 class ConvTranspose(nn.Module):
     """N-d transposed convolution, channels-last.
 
@@ -384,8 +456,21 @@ class ConvTranspose(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, folded_z: Optional[int] = None) -> jnp.ndarray:
         kernel = tuple(self.kernel_size)
+        if folded_z is not None:
+            # z-folded upsampling (see _ZFoldConv3): x is (B, X, Y, Z*Ci) and
+            # the result stays folded — only valid when z is untouched
+            if len(kernel) != 3 or kernel[2] != 1 or tuple(self.strides)[2] != 1:
+                raise ValueError("folded_z requires a z-identity ConvTranspose.")
+            return _ZFoldConvT(
+                features=self.features,
+                kernel_size=kernel,
+                strides=tuple(self.strides),
+                use_bias=self.use_bias,
+                dtype=self.dtype,
+                name="conv",
+            )(x, folded_z)
         # transpose_kernel=True gives gradient-of-conv semantics (== torch
         # ConvTranspose); the kernel layout is then (*k, out, in), so the
         # torch (in, out, *k) weight maps with the same transpose as Conv.
@@ -405,6 +490,53 @@ class ConvTranspose(nn.Module):
             param_dtype=jnp.float32,
             name="conv",
         )(x)
+
+
+class _ZFoldConvT(nn.Module):
+    """z-identity ConvTranspose on the z-folded layout.
+
+    Param tree identical to the dense path's nn.ConvTranspose
+    ("conv"/{kernel,bias}, kernel (*k, out, in) with transpose_kernel
+    semantics); the folded kernel is block-diagonal over z, so each z slice
+    upsamples independently — exactly the 3D op with z-kernel/z-stride 1.
+    """
+
+    features: int
+    kernel_size: Tuple[int, ...]
+    strides: Tuple[int, ...]
+    use_bias: bool
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x2: jnp.ndarray, z: int) -> jnp.ndarray:
+        ci = x2.shape[-1] // z
+        w = self.param(
+            "kernel",
+            torch_default_kernel_init,
+            (*self.kernel_size, self.features, ci),
+            jnp.float32,
+        )
+        # (kx, ky, Z*out, Z*in) block-diag: [a*out+o, b*in+i] = w[..,0,o,i] iff a==b
+        w0 = w[:, :, 0].astype(self.dtype)
+        eye = jnp.eye(z, dtype=self.dtype)
+        w2 = jnp.einsum("xyoi,ab->xyaobi", w0, eye).reshape(
+            *w0.shape[:2], z * self.features, z * ci
+        )
+        out = jax.lax.conv_transpose(
+            x2.astype(self.dtype),
+            w2,
+            strides=self.strides[:2],
+            padding="VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            transpose_kernel=True,
+        )
+        if self.use_bias:
+            fan_in = self.features * math.prod(self.kernel_size)
+            b = self.param(
+                "bias", torch_default_bias_init(fan_in), (self.features,), jnp.float32
+            )
+            out = out + jnp.tile(b.astype(out.dtype), z)
+        return out
 
 
 class Dense(nn.Module):
@@ -502,8 +634,38 @@ class ConvResBlock(nn.Module):
     norm: str = "layer"
     dtype: Dtype = jnp.float32
 
+    def _folded_body(
+        self, x2: jnp.ndarray, z: int, in_chans: int, k, deterministic: bool
+    ) -> jnp.ndarray:
+        """Block body on the z-folded (B, X, Y, Z*C) layout, in folded out."""
+        h = get_conv_norm(self.norm, n_chans=in_chans, name="norm1")(x2, segments=z)
+        h = gelu(h)
+        h = Conv(self.out_chans, k, padding="SAME", dtype=self.dtype, name="conv1")(h, folded_z=z)
+        h = get_conv_norm(self.norm, n_chans=self.out_chans, name="norm2")(h, segments=z)
+        h = gelu(h)
+        h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
+        h = Conv(self.out_chans, k, padding="SAME", dtype=self.dtype, name="conv2")(h, folded_z=z)
+        if in_chans != self.out_chans:
+            x2 = Conv(
+                self.out_chans, (1, 1, 1), padding="VALID", dtype=self.dtype, name="shortcut"
+            )(x2, folded_z=z)
+        return h + x2
+
     @nn.compact
-    def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        deterministic: bool = True,
+        folded_z: Optional[int] = None,
+    ) -> jnp.ndarray:
+        if folded_z is not None:
+            # caller keeps a whole decoder level folded (see UpsampleDecoder):
+            # x is (B, X, Y, Z*C) and the result stays folded
+            if self.norm != "layer" or (self.dropout > 0.0 and not deterministic):
+                raise ValueError("folded_z requires layer norm and inactive dropout.")
+            z = folded_z
+            in_chans = x.shape[-1] // z
+            return self._folded_body(x, z, in_chans, _as_tuple(self.kernel_size, 3), deterministic)
         nd = x.ndim - 2
         in_chans = x.shape[-1]
         k = _as_tuple(self.kernel_size, nd)
@@ -521,18 +683,8 @@ class ConvResBlock(nn.Module):
             # (measured 39.3 -> 27.9 ms/block on v5e)
             b, xs_, ys_, z, _ = x.shape
             x2 = x.reshape(b, xs_, ys_, z * in_chans)
-            h = get_conv_norm(self.norm, n_chans=in_chans, name="norm1")(x2, segments=z)
-            h = gelu(h)
-            h = Conv(self.out_chans, k, padding="SAME", dtype=self.dtype, name="conv1")(h, folded_z=z)
-            h = get_conv_norm(self.norm, n_chans=self.out_chans, name="norm2")(h, segments=z)
-            h = gelu(h)
-            h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
-            h = Conv(self.out_chans, k, padding="SAME", dtype=self.dtype, name="conv2")(h, folded_z=z)
-            if in_chans != self.out_chans:
-                x2 = Conv(
-                    self.out_chans, (1,) * nd, padding="VALID", dtype=self.dtype, name="shortcut"
-                )(x2, folded_z=z)
-            return (h + x2).reshape(b, xs_, ys_, z, self.out_chans)
+            out = self._folded_body(x2, z, in_chans, k, deterministic)
+            return out.reshape(b, xs_, ys_, z, self.out_chans)
         h = get_conv_norm(self.norm, n_chans=in_chans, name="norm1")(x)
         h = gelu(h)
         h = Conv(self.out_chans, k, padding="SAME", dtype=self.dtype, name="conv1")(h)

@@ -156,6 +156,26 @@ class Attention(nn.Module):
         use_dropout = (not deterministic) and self.attn_drop > 0.0
         packed_ok = not (use_dropout or self.qk_norm or self.rotary)
         impl = self.attn_impl
+        if impl == "pallas" and not packed_ok:
+            # don't silently hand an explicitly requested flash path to the
+            # reference XLA path — say which feature forced the fallback
+            import warnings
+
+            blockers = [
+                name
+                for name, on in [
+                    ("attn_drop", use_dropout),
+                    ("qk_norm", self.qk_norm),
+                    ("rotary", self.rotary),
+                ]
+                if on
+            ]
+            warnings.warn(
+                "attn_impl='pallas' requested but the packed flash layout does "
+                f"not support {'/'.join(blockers)}; falling back to the "
+                "per-head flash kernel (XLA manual path if dropout is active).",
+                stacklevel=2,
+            )
         if impl == "auto" and packed_ok:
             import jax
 

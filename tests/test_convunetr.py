@@ -55,6 +55,26 @@ def test_upsample_decoder():
     assert out.shape == (2, 32, 32, 4)
 
 
+def test_upsample_decoder_folded_levels_match_dense(monkeypatch):
+    """3D levels that z-fold (C<=48, z*C>=128) must match the dense path
+    bit-for-bit-ish: same params, CINEMA_TPU_ZFOLD toggles the layout."""
+    dec = UpsampleDecoder(chans=(32, 48), patch_size=(2, 2, 1), scale_factor=(2, 2, 1))
+    rng = np.random.default_rng(0)
+    embeddings = [
+        jnp.asarray(rng.normal(size=(2, 16, 16, 4, 32)).astype(np.float32)),
+        jnp.asarray(rng.normal(size=(2, 8, 8, 4, 32)).astype(np.float32)),
+        jnp.asarray(rng.normal(size=(2, 4, 4, 4, 48)).astype(np.float32)),
+    ]
+    params = dec.init(jax.random.PRNGKey(0), embeddings)
+    out_folded = dec.apply(params, embeddings)
+    monkeypatch.setenv("CINEMA_TPU_ZFOLD", "0")
+    out_dense = dec.apply(params, embeddings)
+    assert out_folded.shape == (2, 16, 16, 4, 32)
+    np.testing.assert_allclose(
+        np.asarray(out_folded), np.asarray(out_dense), rtol=1e-4, atol=1e-4
+    )
+
+
 def _tiny_convunetr(views=("sax",)):
     sizes = {"sax": (32, 32, 4), "lax_2c": (32, 32)}
     nd = {v: len(sizes[v]) for v in views}
@@ -85,6 +105,24 @@ def test_convunetr_forward(views):
     for v in views:
         assert preds[v].shape == (2, *sizes[v], 4)
         assert np.isfinite(np.asarray(preds[v])).all()
+
+
+@pytest.mark.parametrize("views", [("sax",), ("lax_2c",), ("sax", "lax_2c")])
+def test_convunetr_predict_labels_matches_argmax(views):
+    """predict_labels (z-folded class-major head + fused argmax) must equal
+    argmax over the dense logits, including first-max tie semantics."""
+    sizes = {"sax": (32, 32, 4), "lax_2c": (32, 32)}
+    model = _tiny_convunetr(views)
+    rng = np.random.default_rng(0)
+    images = {v: jnp.asarray(rng.normal(size=(2, *sizes[v], 1)).astype(np.float32)) for v in views}
+    params = model.init(jax.random.PRNGKey(0), images)
+    labels = model.apply(params, images, method=model.predict_labels)
+    logits = model.apply(params, images)
+    for v in views:
+        assert labels[v].dtype == jnp.uint8
+        np.testing.assert_array_equal(
+            np.asarray(labels[v]), np.argmax(np.asarray(logits[v]), axis=-1)
+        )
 
 
 def test_convunetr_shares_encoder_params():

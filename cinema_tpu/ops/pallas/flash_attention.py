@@ -424,6 +424,118 @@ def _packed_bwd_kernel(
         ).astype(dv_ref.dtype)
 
 
+# Above this many (padded) keys the one-pass kernel's full-width score
+# buffer forces block_q down to 128 and every extra q-block re-reads the
+# whole K/V panel (serving/fine-tune encoder self-attn: T=2305 unmasked
+# tokens -> 19 q-blocks x 2432-key panels). The streaming kernel below
+# blocks K with an online softmax instead, keeping block_q large.
+_STREAM_MIN_TK = 1536
+_STREAM_BLOCK_Q = 512
+_STREAM_BLOCK_K = 512
+
+
+def _packed_stream_fwd_kernel(
+    q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr,
+    *, scale: float, n_k: int, heads: int, block_k: int,
+):
+    """Online-softmax variant of ``_packed_fwd_kernel``: grid adds an
+    innermost k-block axis; running (max, denom, acc) live in VMEM scratch
+    and the output flushes on the last k-block. exp2 log2-domain softmax and
+    the denominator-on-the-PV-matmul ones-column trick carry over."""
+    j = pl.program_id(3)
+    n_kb = pl.num_programs(3)
+    eg = q_ref.shape[-1]
+    d = eg // heads
+
+    @pl.when(j == 0)
+    def _init():
+        # large-finite (not -inf) init keeps alpha = exp2(m_prev - m_new)
+        # NaN-free on fully-masked rows
+        m_scr[...] = jnp.full(m_scr.shape, -1e30, m_scr.dtype)
+        l_scr[...] = jnp.zeros(l_scr.shape, l_scr.dtype)
+        acc_scr[...] = jnp.zeros(acc_scr.shape, acc_scr.dtype)
+
+    bq, bk = q_ref.shape[1], k_ref.shape[1]
+    col = jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1) + j * block_k
+    for h in range(heads):
+        sl = slice(h * d, (h + 1) * d)
+        qh = q_ref[0, :, sl].astype(jnp.float32) * (scale * _LOG2E)
+        kh = k_ref[0, :, sl].astype(jnp.float32)
+        vh = v_ref[0, :, sl].astype(jnp.float32)
+        s = jax.lax.dot_general(
+            qh, kh, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        s = jnp.where(col < n_k, s, -jnp.inf)
+        m_prev = m_scr[:, h : h + 1]
+        m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
+        alpha = jnp.exp2(m_prev - m_new)
+        p = jnp.exp2(s - m_new)
+        v_aug = jnp.concatenate([vh, jnp.ones((vh.shape[0], 1), jnp.float32)], axis=1)
+        pv = jax.lax.dot_general(
+            p, v_aug, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        acc_scr[:, sl] = acc_scr[:, sl] * alpha + pv[:, :d]
+        l_scr[:, h : h + 1] = l_scr[:, h : h + 1] * alpha + pv[:, d : d + 1]
+        m_scr[:, h : h + 1] = m_new
+
+    @pl.when(j == n_kb - 1)
+    def _flush():
+        for h in range(heads):
+            sl = slice(h * d, (h + 1) * d)
+            o_ref[0, :, sl] = (acc_scr[:, sl] / l_scr[:, h : h + 1]).astype(o_ref.dtype)
+
+
+def _packed_stream_forward(q, k, v, n_heads: int):
+    batch, n_q, embed = q.shape
+    n_k = k.shape[1]
+    head_dim = embed // n_heads
+    scale = head_dim**-0.5
+    block_q, block_k = _STREAM_BLOCK_Q, _STREAM_BLOCK_K
+    n_k_pad = _round_up(n_k, block_k)
+    n_q_pad = _round_up(n_q, block_q)
+    groups = _pick_head_groups(n_heads, head_dim, embed, block_k)
+    eg = embed // groups
+
+    if n_q_pad != n_q:
+        q = jnp.pad(q, ((0, 0), (0, n_q_pad - n_q), (0, 0)))
+    if n_k_pad != n_k:
+        k = jnp.pad(k, ((0, 0), (0, n_k_pad - n_k), (0, 0)))
+        v = jnp.pad(v, ((0, 0), (0, n_k_pad - n_k), (0, 0)))
+
+    q_spec = pl.BlockSpec(
+        (1, block_q, eg), lambda b, g, i, j: (b, i, g), memory_space=pltpu.VMEM
+    )
+    k_spec = pl.BlockSpec(
+        (1, block_k, eg), lambda b, g, i, j: (b, j, g), memory_space=pltpu.VMEM
+    )
+    heads_g = n_heads // groups
+    out = pl.pallas_call(
+        functools.partial(
+            _packed_stream_fwd_kernel,
+            scale=scale, n_k=n_k, heads=heads_g, block_k=block_k,
+        ),
+        out_shape=jax.ShapeDtypeStruct((batch, n_q_pad, embed), q.dtype),
+        grid=(batch, groups, n_q_pad // block_q, n_k_pad // block_k),
+        in_specs=[q_spec, k_spec, k_spec],
+        out_specs=q_spec,
+        scratch_shapes=[
+            pltpu.VMEM((block_q, heads_g), jnp.float32),
+            pltpu.VMEM((block_q, heads_g), jnp.float32),
+            pltpu.VMEM((block_q, eg), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 2**20,
+            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * batch * n_q_pad * n_k_pad * embed,
+            bytes_accessed=(q.size + k.size + v.size) * q.dtype.itemsize,
+            transcendentals=batch * n_heads * n_q_pad * n_k_pad,
+        ),
+    )(q, k, v)
+    return out[:, :n_q]
+
+
 def _packed_specs(block_q: int, n_k_pad: int, eg: int):
     q_spec = pl.BlockSpec((1, block_q, eg), lambda b, j, i: (b, i, j), memory_space=pltpu.VMEM)
     k_spec = pl.BlockSpec((1, n_k_pad, eg), lambda b, j, i: (b, 0, j), memory_space=pltpu.VMEM)
@@ -436,6 +548,10 @@ def _packed_forward(q, k, v, n_heads: int, block_q: int):
     head_dim = embed // n_heads
     scale = head_dim**-0.5
     n_k_pad = _round_up(n_k, 128)
+    import os
+
+    if n_k_pad >= _STREAM_MIN_TK and os.environ.get("CINEMA_TPU_FLASH_STREAM", "1") == "1":
+        return _packed_stream_forward(q, k, v, n_heads)
     groups = _pick_head_groups(n_heads, head_dim, embed, n_k_pad)
     eg = embed // groups
     # 7MB score budget: block 512 at the decoder shape overflowed the 16MB

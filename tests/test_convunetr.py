@@ -55,21 +55,24 @@ def test_upsample_decoder():
     assert out.shape == (2, 32, 32, 4)
 
 
-def test_upsample_decoder_folded_levels_match_dense(monkeypatch):
+@pytest.mark.parametrize("z", [4, 8])
+def test_upsample_decoder_folded_levels_match_dense(z, monkeypatch):
     """3D levels that z-fold (C<=48, z*C>=128) must match the dense path
-    bit-for-bit-ish: same params, CINEMA_TPU_ZFOLD toggles the layout."""
+    bit-for-bit-ish: same params, CINEMA_TPU_ZFOLD toggles the layout.
+    z=8 additionally exercises the segmented band (z divisible by the
+    default z_seg=4) through the whole folded chain incl. 1x1 convs."""
     dec = UpsampleDecoder(chans=(32, 48), patch_size=(2, 2, 1), scale_factor=(2, 2, 1))
     rng = np.random.default_rng(0)
     embeddings = [
-        jnp.asarray(rng.normal(size=(2, 16, 16, 4, 32)).astype(np.float32)),
-        jnp.asarray(rng.normal(size=(2, 8, 8, 4, 32)).astype(np.float32)),
-        jnp.asarray(rng.normal(size=(2, 4, 4, 4, 48)).astype(np.float32)),
+        jnp.asarray(rng.normal(size=(2, 16, 16, z, 32)).astype(np.float32)),
+        jnp.asarray(rng.normal(size=(2, 8, 8, z, 32)).astype(np.float32)),
+        jnp.asarray(rng.normal(size=(2, 4, 4, z, 48)).astype(np.float32)),
     ]
     params = dec.init(jax.random.PRNGKey(0), embeddings)
     out_folded = dec.apply(params, embeddings)
     monkeypatch.setenv("CINEMA_TPU_ZFOLD", "0")
     out_dense = dec.apply(params, embeddings)
-    assert out_folded.shape == (2, 16, 16, 4, 32)
+    assert out_folded.shape == (2, 16, 16, z, 32)
     np.testing.assert_allclose(
         np.asarray(out_folded), np.asarray(out_dense), rtol=1e-4, atol=1e-4
     )

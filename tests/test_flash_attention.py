@@ -159,3 +159,50 @@ def test_attention_module_packed_path_matches_xla():
         got = attn_pallas.apply(params, *args)
         want = attn_xla.apply(params, *args)
         np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=3e-5)
+
+
+class TestStreamingPackedFlash:
+    """Long-Tk packed attention (n_k_pad >= _STREAM_MIN_TK) dispatches to the
+    online-softmax streaming kernel: k is blocked with running (max, denom,
+    acc) scratch instead of a full-width score buffer (one-pass block_q would
+    collapse to 128 and re-read the K/V panel per q-block)."""
+
+    def test_streaming_forward_matches(self):
+        from cinema_tpu.ops.pallas import flash_attention as fa
+
+        rng = np.random.default_rng(0)
+        b, n_q, n_k, h, d = 1, 520, 1600, 4, 32
+        e = h * d
+        q = jnp.asarray(rng.normal(size=(b, n_q, e)).astype(np.float32))
+        k = jnp.asarray(rng.normal(size=(b, n_k, e)).astype(np.float32))
+        v = jnp.asarray(rng.normal(size=(b, n_k, e)).astype(np.float32))
+        assert fa._round_up(n_k, 128) >= fa._STREAM_MIN_TK  # dispatch guard
+        got = fa.flash_attention_packed(q, k, v, h)
+        want = _reference_attention(
+            q.reshape(b, n_q, h, d), k.reshape(b, n_k, h, d), v.reshape(b, n_k, h, d)
+        ).reshape(b, n_q, e)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+
+    def test_streaming_gradients_match(self):
+        from cinema_tpu.ops.pallas.flash_attention import flash_attention_packed
+
+        rng = np.random.default_rng(1)
+        b, n_q, n_k, h, d = 1, 96, 1550, 2, 32
+        e = h * d
+        q = jnp.asarray(rng.normal(size=(b, n_q, e)).astype(np.float32))
+        k = jnp.asarray(rng.normal(size=(b, n_k, e)).astype(np.float32))
+        v = jnp.asarray(rng.normal(size=(b, n_k, e)).astype(np.float32))
+
+        def loss_packed(q, k, v):
+            return jnp.sum(flash_attention_packed(q, k, v, h) ** 2)
+
+        def loss_ref(q, k, v):
+            out = _reference_attention(
+                q.reshape(b, n_q, h, d), k.reshape(b, n_k, h, d), v.reshape(b, n_k, h, d)
+            )
+            return jnp.sum(out.astype(jnp.float32) ** 2)
+
+        g_packed = jax.grad(loss_packed, argnums=(0, 1, 2))(q, k, v)
+        g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+        for a, b_ in zip(g_packed, g_ref):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=3e-4)

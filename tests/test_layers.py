@@ -198,3 +198,40 @@ def test_dense_param_naming():
     params = model.init(jax.random.PRNGKey(0), jnp.ones((1, 4)))
     assert "linear" in params["params"]
     assert params["params"]["linear"]["kernel"].shape == (4, 8)
+
+
+@pytest.mark.parametrize("z,kernel", [(8, 3), (16, 3), (8, 1)])
+def test_zfold_segmented_matches_dense(z, kernel, monkeypatch):
+    """The segmented z-fold (grouped conv over halo'd z-segment windows)
+    must match both the full-Z band and the dense conv, values and grads."""
+    from cinema_tpu.models.layers import Conv
+
+    c = 32
+    conv = Conv(c, (kernel,) * 3, padding="SAME")
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(2, 8, 8, z, c)).astype(np.float32))
+
+    monkeypatch.setenv("CINEMA_TPU_ZFOLD", "0")
+    params = conv.init(jax.random.PRNGKey(0), x)
+
+    def loss(p, v):
+        return jnp.sum(jnp.square(conv.apply(p, v)))
+
+    dense_out = conv.apply(params, x)
+    dense_g = jax.grad(loss)(params, x)
+
+    monkeypatch.setenv("CINEMA_TPU_ZFOLD", "1")
+    monkeypatch.setenv("CINEMA_TPU_ZFOLD_SEG", "4")
+    seg_out = conv.apply(params, x)
+    seg_g = jax.grad(loss)(params, x)
+
+    np.testing.assert_allclose(np.asarray(seg_out), np.asarray(dense_out), rtol=1e-4, atol=1e-4)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-3),
+        seg_g,
+        dense_g,
+    )
+
+    monkeypatch.setenv("CINEMA_TPU_ZFOLD_SEG", "0")
+    band_out = conv.apply(params, x)
+    np.testing.assert_allclose(np.asarray(seg_out), np.asarray(band_out), rtol=1e-4, atol=1e-4)

@@ -350,7 +350,7 @@ def _pick_zseg(z: int) -> int:
     """
     import os
 
-    seg = int(os.environ.get("CINEMA_TPU_ZFOLD_SEG", "4"))
+    seg = int(os.environ.get("CINEMA_TPU_ZFOLD_SEG", "0"))
     return seg if seg > 0 and z > seg and z % seg == 0 else 0
 
 

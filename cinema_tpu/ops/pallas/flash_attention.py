@@ -550,7 +550,7 @@ def _packed_forward(q, k, v, n_heads: int, block_q: int):
     n_k_pad = _round_up(n_k, 128)
     import os
 
-    if n_k_pad >= _STREAM_MIN_TK and os.environ.get("CINEMA_TPU_FLASH_STREAM", "1") == "1":
+    if n_k_pad >= _STREAM_MIN_TK and os.environ.get("CINEMA_TPU_FLASH_STREAM", "0") == "1":
         return _packed_stream_forward(q, k, v, n_heads)
     groups = _pick_head_groups(n_heads, head_dim, embed, n_k_pad)
     eg = embed // groups

@@ -167,8 +167,10 @@ class TestStreamingPackedFlash:
     acc) scratch instead of a full-width score buffer (one-pass block_q would
     collapse to 128 and re-read the K/V panel per q-block)."""
 
-    def test_streaming_forward_matches(self):
+    def test_streaming_forward_matches(self, monkeypatch):
         from cinema_tpu.ops.pallas import flash_attention as fa
+
+        monkeypatch.setenv("CINEMA_TPU_FLASH_STREAM", "1")
 
         rng = np.random.default_rng(0)
         b, n_q, n_k, h, d = 1, 520, 1600, 4, 32
@@ -183,8 +185,10 @@ class TestStreamingPackedFlash:
         ).reshape(b, n_q, e)
         np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
 
-    def test_streaming_gradients_match(self):
+    def test_streaming_gradients_match(self, monkeypatch):
         from cinema_tpu.ops.pallas.flash_attention import flash_attention_packed
+
+        monkeypatch.setenv("CINEMA_TPU_FLASH_STREAM", "1")
 
         rng = np.random.default_rng(1)
         b, n_q, n_k, h, d = 1, 96, 1550, 2, 32

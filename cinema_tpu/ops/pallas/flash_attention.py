@@ -434,14 +434,30 @@ _STREAM_BLOCK_Q = 512
 _STREAM_BLOCK_K = 512
 
 
+def _stream_enabled(n_k: int) -> bool:
+    """Static dispatch predicate shared by the primal, fwd and bwd rules."""
+    import os
+
+    return (
+        _round_up(n_k, 128) >= _STREAM_MIN_TK
+        and os.environ.get("CINEMA_TPU_FLASH_STREAM", "0") == "1"
+    )
+
+
 def _packed_stream_fwd_kernel(
-    q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr,
-    *, scale: float, n_k: int, heads: int, block_k: int,
+    q_ref, k_ref, v_ref, o_ref, *rest,
+    scale: float, n_k: int, heads: int, block_k: int, emit_stats: bool,
 ):
     """Online-softmax variant of ``_packed_fwd_kernel``: grid adds an
     innermost k-block axis; running (max, denom, acc) live in VMEM scratch
     and the output flushes on the last k-block. exp2 log2-domain softmax and
-    the denominator-on-the-PV-matmul ones-column trick carry over."""
+    the denominator-on-the-PV-matmul ones-column trick carry over. With
+    ``emit_stats`` the log2-domain (rowmax, denominator) are emitted for the
+    streaming backward's tile-local probability recompute."""
+    if emit_stats:
+        m_out, l_out, m_scr, l_scr, acc_scr = rest
+    else:
+        m_scr, l_scr, acc_scr = rest
     j = pl.program_id(3)
     n_kb = pl.num_programs(3)
     eg = q_ref.shape[-1]
@@ -483,24 +499,35 @@ def _packed_stream_fwd_kernel(
         for h in range(heads):
             sl = slice(h * d, (h + 1) * d)
             o_ref[0, :, sl] = (acc_scr[:, sl] / l_scr[:, h : h + 1]).astype(o_ref.dtype)
+        if emit_stats:
+            m_out[0] = m_scr[...]
+            l_out[0] = l_scr[...]
 
 
-def _packed_stream_forward(q, k, v, n_heads: int):
+def _stream_geometry(q, k, v, n_heads: int):
     batch, n_q, embed = q.shape
     n_k = k.shape[1]
     head_dim = embed // n_heads
-    scale = head_dim**-0.5
     block_q, block_k = _STREAM_BLOCK_Q, _STREAM_BLOCK_K
     n_k_pad = _round_up(n_k, block_k)
     n_q_pad = _round_up(n_q, block_q)
     groups = _pick_head_groups(n_heads, head_dim, embed, block_k)
-    eg = embed // groups
-
     if n_q_pad != n_q:
         q = jnp.pad(q, ((0, 0), (0, n_q_pad - n_q), (0, 0)))
     if n_k_pad != n_k:
         k = jnp.pad(k, ((0, 0), (0, n_k_pad - n_k), (0, 0)))
         v = jnp.pad(v, ((0, 0), (0, n_k_pad - n_k), (0, 0)))
+    return q, k, v, head_dim**-0.5, block_q, block_k, n_q_pad, n_k_pad, groups
+
+
+def _packed_stream_forward(q, k, v, n_heads: int, with_stats: bool = False):
+    batch, n_q, embed = q.shape
+    n_k = k.shape[1]
+    q, k, v, scale, block_q, block_k, n_q_pad, n_k_pad, groups = _stream_geometry(
+        q, k, v, n_heads
+    )
+    eg = embed // groups
+    heads_g = n_heads // groups
 
     q_spec = pl.BlockSpec(
         (1, block_q, eg), lambda b, g, i, j: (b, i, g), memory_space=pltpu.VMEM
@@ -508,16 +535,21 @@ def _packed_stream_forward(q, k, v, n_heads: int):
     k_spec = pl.BlockSpec(
         (1, block_k, eg), lambda b, g, i, j: (b, j, g), memory_space=pltpu.VMEM
     )
-    heads_g = n_heads // groups
-    out = pl.pallas_call(
+    stat_spec = pl.BlockSpec(
+        (1, block_q, heads_g), lambda b, g, i, j: (b, i, g), memory_space=pltpu.VMEM
+    )
+    out_shape = jax.ShapeDtypeStruct((batch, n_q_pad, embed), q.dtype)
+    stat_shape = jax.ShapeDtypeStruct((batch, n_q_pad, n_heads), jnp.float32)
+    result = pl.pallas_call(
         functools.partial(
             _packed_stream_fwd_kernel,
             scale=scale, n_k=n_k, heads=heads_g, block_k=block_k,
+            emit_stats=with_stats,
         ),
-        out_shape=jax.ShapeDtypeStruct((batch, n_q_pad, embed), q.dtype),
+        out_shape=(out_shape, stat_shape, stat_shape) if with_stats else out_shape,
         grid=(batch, groups, n_q_pad // block_q, n_k_pad // block_k),
         in_specs=[q_spec, k_spec, k_spec],
-        out_specs=q_spec,
+        out_specs=(q_spec, stat_spec, stat_spec) if with_stats else q_spec,
         scratch_shapes=[
             pltpu.VMEM((block_q, heads_g), jnp.float32),
             pltpu.VMEM((block_q, heads_g), jnp.float32),
@@ -533,7 +565,174 @@ def _packed_stream_forward(q, k, v, n_heads: int):
             transcendentals=batch * n_heads * n_q_pad * n_k_pad,
         ),
     )(q, k, v)
-    return out[:, :n_q]
+    if with_stats:
+        out, m, l = result
+        return out[:, :n_q], m, l
+    return result[:, :n_q]
+
+
+def _stream_probs(q_ref, k_ref, m_ref, l_ref, h, d, scale, col, n_k):
+    """Tile-local softmax probabilities from the saved log2-domain stats."""
+    sl = slice(h * d, (h + 1) * d)
+    qh = q_ref[0, :, sl].astype(jnp.float32) * (scale * _LOG2E)
+    kh = k_ref[0, :, sl].astype(jnp.float32)
+    s = jax.lax.dot_general(
+        qh, kh, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    s = jnp.where(col < n_k, s, -jnp.inf)
+    p = jnp.exp2(s - m_ref[0, :, h : h + 1])
+    # guard l=0 (rows past n_q with no valid key mass) — their grads are
+    # sliced off, they just must not poison the tile with inf/NaN
+    return p / jnp.maximum(l_ref[0, :, h : h + 1], 1e-30), kh
+
+
+def _packed_stream_dq_kernel(
+    q_ref, k_ref, v_ref, g_ref, m_ref, l_ref, delta_ref, dq_ref, dq_scr,
+    *, scale: float, n_k: int, heads: int, block_k: int,
+):
+    """dq accumulated over the innermost k-block axis."""
+    j = pl.program_id(3)
+    n_kb = pl.num_programs(3)
+    eg = q_ref.shape[-1]
+    d = eg // heads
+
+    @pl.when(j == 0)
+    def _init():
+        dq_scr[...] = jnp.zeros(dq_scr.shape, dq_scr.dtype)
+
+    bq, bk = q_ref.shape[1], k_ref.shape[1]
+    col = jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1) + j * block_k
+    for h in range(heads):
+        sl = slice(h * d, (h + 1) * d)
+        probs, kh = _stream_probs(q_ref, k_ref, m_ref, l_ref, h, d, scale, col, n_k)
+        gh = g_ref[0, :, sl].astype(jnp.float32)
+        vh = v_ref[0, :, sl].astype(jnp.float32)
+        dprobs = jax.lax.dot_general(
+            gh, vh, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        dscores = probs * (dprobs - delta_ref[0, :, h : h + 1])
+        dq_scr[:, sl] += jax.lax.dot_general(
+            dscores, kh, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+
+    @pl.when(j == n_kb - 1)
+    def _flush():
+        dq_ref[0] = (dq_scr[...] * scale).astype(dq_ref.dtype)
+
+
+def _packed_stream_dkv_kernel(
+    q_ref, k_ref, v_ref, g_ref, m_ref, l_ref, delta_ref, dk_ref, dv_ref,
+    dk_scr, dv_scr,
+    *, scale: float, n_k: int, heads: int, block_k: int,
+):
+    """dk/dv accumulated over the innermost q-block axis (k-block outer)."""
+    i = pl.program_id(3)
+    n_qb = pl.num_programs(3)
+    jk = pl.program_id(2)
+    eg = q_ref.shape[-1]
+    d = eg // heads
+
+    @pl.when(i == 0)
+    def _init():
+        dk_scr[...] = jnp.zeros(dk_scr.shape, dk_scr.dtype)
+        dv_scr[...] = jnp.zeros(dv_scr.shape, dv_scr.dtype)
+
+    bq, bk = q_ref.shape[1], k_ref.shape[1]
+    col = jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1) + jk * block_k
+    for h in range(heads):
+        sl = slice(h * d, (h + 1) * d)
+        probs, _kh = _stream_probs(q_ref, k_ref, m_ref, l_ref, h, d, scale, col, n_k)
+        qh = q_ref[0, :, sl].astype(jnp.float32)
+        gh = g_ref[0, :, sl].astype(jnp.float32)
+        vh = v_ref[0, :, sl].astype(jnp.float32)
+        dv_scr[:, sl] += jax.lax.dot_general(
+            probs, gh, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        dprobs = jax.lax.dot_general(
+            gh, vh, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        dscores = probs * (dprobs - delta_ref[0, :, h : h + 1])
+        dk_scr[:, sl] += jax.lax.dot_general(
+            dscores, qh, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+
+    @pl.when(i == n_qb - 1)
+    def _flush():
+        dk_ref[0] = (dk_scr[...] * scale).astype(dk_ref.dtype)
+        dv_ref[0] = dv_scr[...].astype(dv_ref.dtype)
+
+
+def _packed_stream_backward(q, k, v, g, out, stats, n_heads: int):
+    """Streaming bwd: two k/q-blocked kernels using the fwd's saved stats.
+
+    vs the one-pass bwd at long Tk (block_q pinned to 128 by the full-width
+    score buffers): K/V panels are re-read once per 512-row q-block instead
+    of per 128-row block, and dk/dv accumulate per k-block in VMEM."""
+    m, l = stats
+    batch, n_q, embed = q.shape
+    n_k = k.shape[1]
+    # delta = rowsum(g * out) per head — one cheap XLA pass, read by tiles
+    gh = g.astype(jnp.float32).reshape(batch, n_q, n_heads, -1)
+    oh = out.astype(jnp.float32).reshape(batch, n_q, n_heads, -1)
+    delta = jnp.sum(gh * oh, axis=-1)  # (batch, n_q, n_heads)
+
+    qp, kp, vp, scale, block_q, block_k, n_q_pad, n_k_pad, groups = _stream_geometry(
+        q, k, v, n_heads
+    )
+    eg = embed // groups
+    heads_g = n_heads // groups
+    if n_q_pad != n_q:
+        g = jnp.pad(g, ((0, 0), (0, n_q_pad - n_q), (0, 0)))
+        delta = jnp.pad(delta, ((0, 0), (0, n_q_pad - n_q), (0, 0)))
+    # m, l are already (batch, n_q_pad, n_heads) from the fwd
+
+    common = dict(scale=scale, n_k=n_k, heads=heads_g, block_k=block_k)
+    params = dict(
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 2**20,
+            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=10 * batch * n_q_pad * n_k_pad * embed,
+            bytes_accessed=2 * (q.size + k.size + v.size) * 4,
+            transcendentals=batch * n_heads * n_q_pad * n_k_pad,
+        ),
+    )
+
+    # dq: (b, g, iq, jk) with k innermost
+    q_spec = pl.BlockSpec((1, block_q, eg), lambda b, g_, i, j: (b, i, g_), memory_space=pltpu.VMEM)
+    k_spec = pl.BlockSpec((1, block_k, eg), lambda b, g_, i, j: (b, j, g_), memory_space=pltpu.VMEM)
+    s_spec = pl.BlockSpec((1, block_q, heads_g), lambda b, g_, i, j: (b, i, g_), memory_space=pltpu.VMEM)
+    dq = pl.pallas_call(
+        functools.partial(_packed_stream_dq_kernel, **common),
+        out_shape=jax.ShapeDtypeStruct((batch, n_q_pad, embed), q.dtype),
+        grid=(batch, groups, n_q_pad // block_q, n_k_pad // block_k),
+        in_specs=[q_spec, k_spec, k_spec, q_spec, s_spec, s_spec, s_spec],
+        out_specs=q_spec,
+        scratch_shapes=[pltpu.VMEM((block_q, eg), jnp.float32)],
+        **params,
+    )(qp, kp, vp, g, m, l, delta)
+
+    # dk/dv: (b, g, jk, iq) with q innermost
+    q_spec2 = pl.BlockSpec((1, block_q, eg), lambda b, g_, j, i: (b, i, g_), memory_space=pltpu.VMEM)
+    k_spec2 = pl.BlockSpec((1, block_k, eg), lambda b, g_, j, i: (b, j, g_), memory_space=pltpu.VMEM)
+    s_spec2 = pl.BlockSpec((1, block_q, heads_g), lambda b, g_, j, i: (b, i, g_), memory_space=pltpu.VMEM)
+    dk, dv = pl.pallas_call(
+        functools.partial(_packed_stream_dkv_kernel, **common),
+        out_shape=(
+            jax.ShapeDtypeStruct((batch, n_k_pad, embed), jnp.float32),
+            jax.ShapeDtypeStruct((batch, n_k_pad, embed), jnp.float32),
+        ),
+        grid=(batch, groups, n_k_pad // block_k, n_q_pad // block_q),
+        in_specs=[q_spec2, k_spec2, k_spec2, q_spec2, s_spec2, s_spec2, s_spec2],
+        out_specs=(k_spec2, k_spec2),
+        scratch_shapes=[
+            pltpu.VMEM((block_k, eg), jnp.float32),
+            pltpu.VMEM((block_k, eg), jnp.float32),
+        ],
+        **params,
+    )(qp, kp, vp, g, m, l, delta)
+    return dq[:, :n_q], dk[:, :n_k].astype(k.dtype), dv[:, :n_k].astype(v.dtype)
 
 
 def _packed_specs(block_q: int, n_k_pad: int, eg: int):
@@ -548,9 +747,7 @@ def _packed_forward(q, k, v, n_heads: int, block_q: int):
     head_dim = embed // n_heads
     scale = head_dim**-0.5
     n_k_pad = _round_up(n_k, 128)
-    import os
-
-    if n_k_pad >= _STREAM_MIN_TK and os.environ.get("CINEMA_TPU_FLASH_STREAM", "0") == "1":
+    if _stream_enabled(n_k):
         return _packed_stream_forward(q, k, v, n_heads)
     groups = _pick_head_groups(n_heads, head_dim, embed, n_k_pad)
     eg = embed // groups
@@ -609,13 +806,18 @@ def flash_attention_packed(
 
 
 def _packed_fwd_rule(q, k, v, n_heads, block_q):
+    if _stream_enabled(k.shape[1]):
+        out, m, l = _packed_stream_forward(q, k, v, n_heads, with_stats=True)
+        return out, (q, k, v, out, (m, l))
     out = _packed_forward(q, k, v, n_heads, block_q)
-    return out, (q, k, v, out)
+    return out, (q, k, v, out, None)
 
 
 def _packed_bwd_rule(n_heads, block_q, residuals, g):
     del block_q
-    q, k, v, out = residuals
+    q, k, v, out, stats = residuals
+    if stats is not None:
+        return _packed_stream_backward(q, k, v, g, out, stats, n_heads)
     batch, n_q, embed = q.shape
     n_k = k.shape[1]
     head_dim = embed // n_heads

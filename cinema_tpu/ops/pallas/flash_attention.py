@@ -504,11 +504,21 @@ def _packed_stream_fwd_kernel(
             l_out[0] = l_scr[...]
 
 
+def _stream_blocks() -> tuple[int, int]:
+    """(block_q, block_k), overridable for on-device tuning sweeps."""
+    import os
+
+    return (
+        int(os.environ.get("CINEMA_TPU_STREAM_BLOCK_Q", _STREAM_BLOCK_Q)),
+        int(os.environ.get("CINEMA_TPU_STREAM_BLOCK_K", _STREAM_BLOCK_K)),
+    )
+
+
 def _stream_geometry(q, k, v, n_heads: int):
     batch, n_q, embed = q.shape
     n_k = k.shape[1]
     head_dim = embed // n_heads
-    block_q, block_k = _STREAM_BLOCK_Q, _STREAM_BLOCK_K
+    block_q, block_k = _stream_blocks()
     n_k_pad = _round_up(n_k, block_k)
     n_q_pad = _round_up(n_q, block_q)
     groups = _pick_head_groups(n_heads, head_dim, embed, block_k)

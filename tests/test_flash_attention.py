@@ -167,10 +167,13 @@ class TestStreamingPackedFlash:
     acc) scratch instead of a full-width score buffer (one-pass block_q would
     collapse to 128 and re-read the K/V panel per q-block)."""
 
-    def test_streaming_forward_matches(self, monkeypatch):
+    @pytest.mark.parametrize("bq,bk", [(512, 512), (256, 640)])
+    def test_streaming_forward_matches(self, bq, bk, monkeypatch):
         from cinema_tpu.ops.pallas import flash_attention as fa
 
         monkeypatch.setenv("CINEMA_TPU_FLASH_STREAM", "1")
+        monkeypatch.setenv("CINEMA_TPU_STREAM_BLOCK_Q", str(bq))
+        monkeypatch.setenv("CINEMA_TPU_STREAM_BLOCK_K", str(bk))
 
         rng = np.random.default_rng(0)
         b, n_q, n_k, h, d = 1, 520, 1600, 4, 32
@@ -185,10 +188,13 @@ class TestStreamingPackedFlash:
         ).reshape(b, n_q, e)
         np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
 
-    def test_streaming_gradients_match(self, monkeypatch):
+    @pytest.mark.parametrize("bq,bk", [(512, 512), (256, 640)])
+    def test_streaming_gradients_match(self, bq, bk, monkeypatch):
         from cinema_tpu.ops.pallas.flash_attention import flash_attention_packed
 
         monkeypatch.setenv("CINEMA_TPU_FLASH_STREAM", "1")
+        monkeypatch.setenv("CINEMA_TPU_STREAM_BLOCK_Q", str(bq))
+        monkeypatch.setenv("CINEMA_TPU_STREAM_BLOCK_K", str(bk))
 
         rng = np.random.default_rng(1)
         b, n_q, n_k, h, d = 1, 96, 1550, 2, 32

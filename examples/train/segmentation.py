@@ -14,7 +14,9 @@ harness would do — the train state, the step, the epoch loop, eval, early
 stopping, checkpointing — is written out inline so it can be copied and
 edited freely.
 
-Run on processed ACDC data (see `acdc_preprocess`):
+Run on processed ACDC data (see `acdc_preprocess`); pass --mae_ckpt to
+start from pretrained MAE weights (safetensors, as published), matching
+the reference tutorial's `ConvUNetR.from_pretrained` transfer:
     python examples/train/segmentation.py --data_dir ~/.cache/cinema_datasets/acdc/processed
 """
 
@@ -40,7 +42,7 @@ from cinema_tpu.data.transforms import get_segmentation_transforms
 from cinema_tpu.factory import get_segmentation_model, init_params
 from cinema_tpu.inference import sliding_window_forward
 from cinema_tpu.losses import segmentation_loss
-from cinema_tpu.metrics import dice_score, one_hot
+from cinema_tpu.metrics import dice_score, hausdorff_distance_95, one_hot
 from cinema_tpu.train.checkpoint import save_params_safetensors
 from cinema_tpu.train.optim import build_optimizer
 
@@ -107,7 +109,7 @@ def make_eval_step(model, patch_size, n_classes):
             lambda imgs: model.apply(params, imgs), {"sax": image}, {"sax": patch_size}, "softmax"
         )["sax"]
         pred = jnp.argmax(logits, axis=-1)
-        return dice_score(one_hot(pred, n_classes), one_hot(label, n_classes))
+        return dice_score(one_hot(pred, n_classes), one_hot(label, n_classes)), pred
 
     return step
 
@@ -121,6 +123,15 @@ def run(config, n_epochs: int) -> None:
 
     model = get_segmentation_model(config, dtype=jnp.bfloat16)
     params = init_params(model)
+    if config.model.ckpt_path:
+        # MAE -> ConvUNetR transfer with the reference's key surgery
+        # (drop decoder/mask keys, channel inflation, strict accounting)
+        from cinema_tpu.bridge.torch_loader import load_pretrain_weights
+        from cinema_tpu.factory import load_safetensors
+
+        state_dict = load_safetensors(Path(config.model.ckpt_path).expanduser())
+        params, loaded = load_pretrain_weights(params, "sax", state_dict)
+        print(f"loaded {len(loaded)} pretrained tensors")
     tx = build_optimizer(
         jax.eval_shape(lambda: params),
         lr=float(config.train.lr),
@@ -156,16 +167,24 @@ def run(config, n_epochs: int) -> None:
 
         if (epoch + 1) % int(config.train.eval_interval) and epoch + 1 != n_epochs:
             continue
-        dices = []
+        dices, hds = [], []
+        n_classes = int(config.model.out_chans)
+        spacing = tuple(config.data.sax.spacing)
         for batch in val_loader:
-            d = eval_step(
-                params,
-                jnp.asarray(batch["sax_image"]),
-                jnp.asarray(batch["sax_label"].astype(np.int32)),
-            )
+            label = jnp.asarray(batch["sax_label"].astype(np.int32))
+            d, pred = eval_step(params, jnp.asarray(batch["sax_image"]), label)
             dices.append(np.nanmean(jax.device_get(d)[:, 1:]))  # foreground classes
+            hd = hausdorff_distance_95(  # host-side, like MONAI's
+                np.asarray(one_hot(pred, n_classes)),
+                np.asarray(one_hot(label, n_classes)),
+                spacing=spacing,
+            )  # (batch, n_classes - 1): foreground classes only
+            hds.append(np.nanmean(hd))
         mean_dice = float(np.mean(dices))
-        print(f"epoch {epoch}: val mean foreground dice {mean_dice:.4f}")
+        print(
+            f"epoch {epoch}: val mean foreground dice {mean_dice:.4f}, "
+            f"HD95 {np.nanmean(hds):.2f} mm"
+        )
         if mean_dice > best + float(config.train.early_stopping.min_delta):
             best, patience_left = mean_dice, int(config.train.early_stopping.patience)
             save_params_safetensors(params, out_dir / "best.safetensors")
@@ -181,9 +200,13 @@ def main() -> None:
     parser = argparse.ArgumentParser()
     parser.add_argument("--data_dir", required=True, type=Path)
     parser.add_argument("--n_epochs", type=int, default=10)
+    parser.add_argument("--mae_ckpt", type=Path, default=None)
     parser.add_argument("overrides", nargs="*")
     args = parser.parse_args()
-    config = apply_overrides(load_config(CONFIG), [f"data.dir={args.data_dir}", *args.overrides])
+    overrides = [f"data.dir={args.data_dir}", *args.overrides]
+    if args.mae_ckpt:
+        overrides.append(f"model.ckpt_path={args.mae_ckpt}")
+    config = apply_overrides(load_config(CONFIG), overrides)
     run(config, args.n_epochs)
 
 

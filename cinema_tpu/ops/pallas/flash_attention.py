@@ -8,7 +8,11 @@ this is the TPU-native equivalent. Design choices for this model family
   panel for that head lives in VMEM (5.4k x 64 x f32 ~= 1.4MB), so the
   softmax is computed in ONE pass over a (block_q, Tk) score tile — no
   online-softmax running state, fewer VPU ops than a streaming kernel at
-  these lengths;
+  these lengths. For LONG keys (>=1536 padded: full-token encoder
+  self-attn at inference/fine-tune) a streaming online-softmax variant
+  with k-blocking exists behind CINEMA_TPU_FLASH_STREAM — the one-pass
+  score buffer would pin block_q to 128 there and re-read K/V panels
+  per 128 rows;
 - f32 score/probability accumulation regardless of input dtype (bf16-safe);
 - key-side padding masked with -inf via broadcasted iota;
 - backward pass via jax.custom_vjp recomputing with XLA einsums — exact

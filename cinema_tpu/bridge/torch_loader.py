@@ -114,6 +114,25 @@ def _convert_tensor(torch_value: np.ndarray, flax_shape: Tuple[int, ...], path: 
     return np.ascontiguousarray(v)
 
 
+def _scanned_block_idx(path: Tuple[str, ...]) -> Optional[int]:
+    """Index of the nn.scan marker ('blocks', 'block') in a param path, or None."""
+    return next(
+        (
+            i
+            for i in range(len(path) - 1)
+            if path[i] == "blocks" and path[i + 1] == "block"
+        ),
+        None,
+    )
+
+
+def _scanned_layer_paths(path: Tuple[str, ...], depth: int) -> List[Tuple[str, ...]]:
+    """Per-layer unrolled paths for an nn.scan-stacked param path."""
+    idx = _scanned_block_idx(path)
+    assert idx is not None
+    return [path[:idx] + (f"blocks_{d}",) + path[idx + 2 :] for d in range(depth)]
+
+
 def _flatten(params: Any) -> Dict[Tuple[str, ...], jnp.ndarray]:
     flat = jax.tree_util.tree_flatten_with_path(params)[0]
     out = {}
@@ -163,6 +182,27 @@ def load_torch_state_dict(
     missing: List[str] = []
 
     for path, value in flat.items():
+        if _scanned_block_idx(path) is not None:
+            # nn.scan-stacked blocks: the checkpoint holds unrolled
+            # blocks_{i} keys (see _unstack_scanned) — load each layer's
+            # tensor and re-stack along the leading depth axis
+            depth = value.shape[0]
+            layer_keys = [
+                flax_path_to_torch_key(p) for p in _scanned_layer_paths(path, depth)
+            ]
+            if all(k is not None and k in state for k in layer_keys):
+                stacked = np.stack(
+                    [
+                        _convert_tensor(state[k], tuple(value.shape[1:]), path)
+                        for k in layer_keys
+                    ]
+                )
+                new_flat[path] = jnp.asarray(stacked, dtype=value.dtype)
+                used.update(layer_keys)
+            else:
+                missing.extend(k for k in layer_keys if k is not None and k not in state)
+                new_flat[path] = value
+            continue
         torch_key = flax_path_to_torch_key(path)
         if torch_key is None or torch_key not in state:
             # try without collapsing wrapper names (rare explicit matches)
@@ -334,8 +374,12 @@ def loaded_freeze_mask(params: Any, loaded_torch_keys: Iterable[str]) -> Any:
     wrapped = isinstance(params, dict) and set(params.keys()) == {"params"}
     inner = params["params"] if wrapped else params
 
-    def mark(path, _value):
+    def mark(path, value):
         parts = tuple(getattr(k, "key", str(k)) for k in path)
+        if _scanned_block_idx(parts) is not None:
+            # scan-stacked leaf: freeze only if every unrolled layer loaded
+            layer_keys = _scanned_layer_paths(parts, np.asarray(value).shape[0])
+            return all(flax_path_to_torch_key(p) in loaded for p in layer_keys)
         torch_key = flax_path_to_torch_key(parts)
         return torch_key in loaded
 

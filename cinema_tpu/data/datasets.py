@@ -446,6 +446,7 @@ class BatchLoader:
         seed: int = 0,
         prefetch: int = 2,
         use_processes: bool = False,
+        process_shard: bool = False,
     ) -> None:
         self.dataset = dataset
         self.batch_size = batch_size
@@ -455,8 +456,19 @@ class BatchLoader:
         self.seed = seed
         self.prefetch = prefetch
         self.use_processes = use_processes
+        # multi-host SPMD: each process loads only its strided shard of the
+        # (identically shuffled) index order — torch DistributedSampler
+        # semantics (reference cinema/mae/pretrain.py:327-330)
+        self.process_shard = process_shard
         self._epoch = 0
         self._pool = None
+
+    def _shard_info(self):
+        if not self.process_shard:
+            return 0, 1
+        import jax
+
+        return jax.process_index(), jax.process_count()
 
     def _process_pool(self):
         if self._pool is None:
@@ -478,6 +490,9 @@ class BatchLoader:
 
     def __len__(self) -> int:
         n = len(self.dataset)
+        _, world = self._shard_info()
+        if world > 1:
+            n = -(-n // world)  # ceil: wrap-padded equal shards
         if self.drop_last:
             return n // self.batch_size
         return (n + self.batch_size - 1) // self.batch_size
@@ -486,6 +501,10 @@ class BatchLoader:
         order = np.arange(len(self.dataset))
         if self.shuffle:
             np.random.default_rng(self.seed + self._epoch).shuffle(order)
+        rank, world = self._shard_info()
+        if world > 1:
+            per_rank = -(-len(order) // world)
+            order = np.resize(order, per_rank * world)[rank::world]
         if hasattr(self.dataset, "set_epoch"):
             self.dataset.set_epoch(self._epoch)  # deterministic augmentations
         self._epoch += 1

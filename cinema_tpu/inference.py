@@ -48,7 +48,8 @@ def sliding_window_forward(
             then logit restore, reference landmark/train.py:176-200).
 
     Returns:
-        logits_dict: per-view (1, *image_size, out_chans).
+        logits_dict: per-view (batch, *image_size, out_chans) — the input
+        batch (frame) dimension is preserved.
     """
     views = list(image_dict.keys())
     for view, image in image_dict.items():
@@ -128,7 +129,8 @@ def video_forward(
     n = video.shape[0]
     n_pad = (-n) % chunk
     if n_pad:
-        video = jnp.concatenate([video, video[:n_pad]], axis=0)
+        # wrap-indexing handles n < n_pad (videos shorter than the chunk)
+        video = jnp.concatenate([video, video[jnp.arange(n_pad) % n]], axis=0)
     stacked = video.reshape(-1, chunk, *video.shape[1:])
 
     def body(carry, frames):

@@ -74,14 +74,15 @@ def _synced_timestamp() -> str:
     t = int(_time.time())
     try:
         import jax
+    except ImportError:  # log module usable without jax (preprocess CLIs)
+        return _time.strftime("%Y%m%d_%H%M%S", _time.localtime(t))
+    if jax.process_count() > 1:
+        # a broadcast failure must propagate: silently falling back to local
+        # time would split the run across per-host directories
+        import numpy as _np
+        from jax.experimental import multihost_utils
 
-        if jax.process_count() > 1:
-            import numpy as _np
-            from jax.experimental import multihost_utils
-
-            t = int(multihost_utils.broadcast_one_to_all(_np.int64(t)))
-    except Exception:  # jax not initialized yet: single-process
-        pass
+        t = int(multihost_utils.broadcast_one_to_all(_np.int64(t)))
     return _time.strftime("%Y%m%d_%H%M%S", _time.localtime(t))
 
 

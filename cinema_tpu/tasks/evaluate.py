@@ -8,8 +8,9 @@ mean_metrics.csv / ef_metrics.csv artifacts like the reference.
 from __future__ import annotations
 
 import argparse
+from itertools import islice
 from pathlib import Path
-from typing import Dict, List, Optional
+from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 import pandas as pd
@@ -197,14 +198,36 @@ def rescan_seg_eval(config: Config, split: str, out_dir: Path, model, params) ->
     for idx, (row_idx, _t) in enumerate(dataset.index_map):
         by_pid.setdefault(str(dataset.meta_df.iloc[row_idx]["pid"]), []).append(idx)
 
-    rows: List[Dict] = []
+    chunks: List[Tuple[str, List[int], int]] = []
     for pid, indices in by_pid.items():
         for start in range(0, len(indices), chunk):
             ids = indices[start : start + chunk]
             n_real = len(ids)
             while len(ids) < chunk:  # wrap-pad to the compiled batch shape
                 ids.append(indices[(start + len(ids)) % len(indices)])
-            samples = [dataset[i] for i in ids]
+            chunks.append((pid, ids, n_real))
+
+    # worker-threaded NIfTI decode + transform, two chunks ahead of the
+    # device so loading overlaps the forward (like BatchLoader's pipeline)
+    from collections import deque
+    from concurrent.futures import ThreadPoolExecutor
+
+    rows: List[Dict] = []
+    with ThreadPoolExecutor(max(1, int(config.train.get("n_workers", 4)))) as pool:
+        pending: deque = deque()
+        it = iter(chunks)
+
+        def submit(c):
+            pending.append((c, [pool.submit(dataset.__getitem__, i) for i in c[1]]))
+
+        for c in list(islice(it, 2)):
+            submit(c)
+        while pending:
+            (pid, _ids, n_real), futs = pending.popleft()
+            samples = [f.result() for f in futs]
+            nxt = next(it, None)
+            if nxt is not None:
+                submit(nxt)
             batch = {
                 k: np.stack([np.asarray(s[k]) for s in samples])
                 for k in samples[0]

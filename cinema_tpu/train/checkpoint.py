@@ -34,6 +34,12 @@ def save_checkpoint(ckpt_dir: Union[str, Path], state: Any, epoch: int) -> Path:
     path = (ckpt_dir / f"ckpt_{epoch}").absolute()
     if path.exists() and jax.process_index() == 0:
         shutil.rmtree(path)
+    if jax.process_count() > 1:
+        # barrier: orbax's own destination-exists check runs on EVERY
+        # process, so none may reach save() while process 0 still rmtree's
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices(f"ckpt_rm_{epoch}")
     with ocp.StandardCheckpointer() as ckptr:
         ckptr.save(path, jax.device_get(state) if jax.process_count() == 1 else state)
     return path

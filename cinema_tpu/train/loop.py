@@ -20,6 +20,7 @@ from cinema_tpu.config import Config, save_config
 from cinema_tpu.data.datasets import BatchLoader, device_prefetch
 from cinema_tpu.log import get_logger, init_run_dir
 from cinema_tpu.parallel.mesh import batch_shardings, make_mesh
+from cinema_tpu.parallel.multihost import local_data_shard_count, make_global_batch
 from cinema_tpu.train.checkpoint import CheckpointRetention, save_checkpoint, save_params_safetensors
 from cinema_tpu.train.optim import EarlyStopping, build_optimizer, get_n_accum_steps
 from cinema_tpu.train.state import make_supervised_train_step, make_train_state
@@ -144,7 +145,8 @@ def run_train(
             len(train_dataset),
         )
     mesh = make_mesh(n_data=int(n_data), n_model=n_model)
-    local_batch = config.train.batch_size_per_device * mesh.shape["data"]
+    # per-PROCESS loader batch: only the data-rows this host owns
+    local_batch = config.train.batch_size_per_device * local_data_shard_count(mesh)
     if mesh.shape["data"] * mesh.shape["model"] > 1:
         logger.info(f"mesh: data={mesh.shape['data']} model={mesh.shape['model']}")
 
@@ -155,6 +157,7 @@ def run_train(
         drop_last=True,
         n_workers=config.train.get("n_workers", 4),
         seed=config.seed,
+        process_shard=True,  # no-op single-process; strided shard per host
     )
     val_loader = BatchLoader(
         val_dataset, batch_size=1, shuffle=False, drop_last=False,
@@ -255,8 +258,10 @@ def run_train(
         epoch_metrics: Dict[str, list] = {}
 
         def put(batch):
+            # single-process: device_put; multi-host: global array assembled
+            # from each process's local rows (parallel/multihost.py)
             arrays = {k: v for k, v in batch.items() if isinstance(v, np.ndarray)}
-            return jax.device_put(arrays, batch_shardings(arrays, mesh))
+            return make_global_batch(arrays, batch_shardings(arrays, mesh))
 
         for device_batch in device_prefetch(iter(train_loader), put, depth=2):
             state, metrics = step_fn(state, device_batch, rng)

@@ -69,3 +69,52 @@ def test_pretrain_local_batch_math():
     assert local_data_shard_count(mesh) == 8
     per_device = 2
     assert per_device * local_data_shard_count(mesh) == 16
+
+
+def test_batchloader_process_shard(monkeypatch):
+    """process_shard=True strides the identically-shuffled order across
+    processes (DistributedSampler semantics): equal-length wrap-padded
+    shards whose union covers the dataset each epoch."""
+    import jax
+
+    from cinema_tpu.data.datasets import BatchLoader
+
+    class _Items:
+        def __len__(self):
+            return 10
+
+        def __getitem__(self, i):
+            return {"x": np.full((2,), i, np.float32)}
+
+    monkeypatch.setattr(jax, "process_count", lambda: 4)
+    seen = {}
+    for rank in range(4):
+        monkeypatch.setattr(jax, "process_index", lambda r=rank: r)
+        loader = BatchLoader(_Items(), batch_size=3, shuffle=True, seed=7,
+                             n_workers=1, process_shard=True)
+        assert len(loader) == 1  # ceil(10/4)=3 items -> one size-3 batch
+        ids = []
+        for batch in loader:
+            ids.extend(int(v[0]) for v in batch["x"])
+        seen[rank] = ids
+        assert len(ids) == 3  # wrap-padded equal shard
+    union = {i for ids in seen.values() for i in ids}
+    assert union == set(range(10))
+    # identical shuffle on every process => disjoint before wrap-padding
+    flat = [i for ids in seen.values() for i in ids]
+    assert len(set(flat[:10])) + 2 >= 10
+
+
+def test_batchloader_no_shard_by_default():
+    from cinema_tpu.data.datasets import BatchLoader
+
+    class _Items:
+        def __len__(self):
+            return 5
+
+        def __getitem__(self, i):
+            return {"x": np.full((1,), i, np.float32)}
+
+    loader = BatchLoader(_Items(), batch_size=2, n_workers=1)
+    ids = [int(v[0]) for batch in loader for v in batch["x"]]
+    assert ids == [0, 1, 2, 3, 4]

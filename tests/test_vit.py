@@ -209,3 +209,13 @@ def test_scan_blocks_matches_unrolled():
     assert set(sd_plain) == set(sd_scan)
     for k in sd_plain:
         np.testing.assert_allclose(sd_plain[k], sd_scan[k], atol=0, err_msg=k)
+
+    # bridge import: the unrolled torch state_dict re-stacks into the
+    # scanned template (inverse of _unstack_scanned), strict accounting
+    from cinema_tpu.bridge.torch_loader import load_torch_state_dict
+
+    template = jax.tree.map(jnp.zeros_like, p_scan)
+    loaded, missing, unused = load_torch_state_dict(template, sd_plain, strict=True)
+    assert not missing and not unused
+    got_loaded = scanned.apply(loaded, x)
+    np.testing.assert_allclose(np.asarray(got_loaded), np.asarray(want), atol=1e-6)

@@ -151,6 +151,20 @@ def test_pad_to_multiple():
     assert orig == (10, 7)
 
 
+@pytest.mark.parametrize("n_frames", [3, 8, 11, 50])
+def test_video_forward_chunking(n_frames):
+    """video_forward pads any frame count to the chunk size — including
+    videos shorter than the pad amount (wrap-indexing, n < n_pad)."""
+    from cinema_tpu.inference import video_forward
+
+    video = jnp.asarray(
+        np.random.default_rng(0).normal(size=(n_frames, 4, 4, 1)), jnp.float32
+    )
+    out = video_forward(lambda x: x * 2.0 + 1.0, video, chunk=8)
+    assert out.shape == video.shape
+    np.testing.assert_allclose(np.asarray(out), np.asarray(video) * 2.0 + 1.0, atol=1e-6)
+
+
 def test_cross_entropy_matches_torch():
     rng = np.random.default_rng(0)
     logits = rng.normal(size=(2, 4, 5)).astype(np.float32)  # (batch, pos, classes)

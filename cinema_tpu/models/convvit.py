@@ -133,7 +133,13 @@ class DownsampleEncoder(nn.Module):
         image_size = image.shape[1:-1]
         grid_size = tuple(s // p for s, p in zip(image_size, self.eff_patch_size))
 
-        if mask is not None and self.sparse_masking and self.norm == "layer":
+        # exactness precondition for the sparse path: DropPath in the cell
+        # layout samples per visible CELL (batch*k leading dim) rather than
+        # per sample — only equivalent when stem drop_path is 0
+        sparse_exact = all(
+            c.drop_path == 0.0 for b in self.conv_blocks for c in b["conv"]
+        )
+        if mask is not None and self.sparse_masking and self.norm == "layer" and sparse_exact:
             # visible-cells-only stem (exact for per-position norms; see
             # ops/sparse_cells.py): returns sparse skips (batch, k, *cell, C)
             # and tokens already gathered to (batch, k, E)

@@ -66,7 +66,9 @@ def mse_loss(
     target = target.astype(jnp.float32)
     pred = pred.astype(jnp.float32)
     mean = target.mean(axis=-1, keepdims=True)
-    var = target.var(axis=-1, keepdims=True)
+    # torch.Tensor.var defaults to correction=1 (unbiased); jnp defaults to
+    # ddof=0 — match the reference (mae.py:130) exactly
+    var = target.var(axis=-1, keepdims=True, ddof=1)
     std = var**0.5
     metrics = {"target_mean": mean.mean(), "target_std": std.mean()}
     if norm_target:

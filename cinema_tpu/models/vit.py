@@ -415,6 +415,13 @@ class ViTDecoder(nn.Module):
         deterministic: bool = True,
     ) -> jnp.ndarray:
         """Decode and return the trailing ``n_enc_masked`` tokens, normed."""
+        if n_enc_masked <= 0:
+            # the reference's x[:, -0:, :] silently returns ALL tokens and the
+            # downstream masked loss averages 0 elements to NaN — fail loudly
+            raise ValueError(
+                f"ViTDecoder needs n_enc_masked > 0, got {n_enc_masked} "
+                "(is enc_mask_ratio 0?)."
+            )
         kwargs = dict(
             n_heads=self.n_heads,
             mlp_ratio=self.mlp_ratio,

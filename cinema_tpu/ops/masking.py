@@ -70,8 +70,8 @@ def random_patch_mask(
     Returns:
         PatchMask with static shapes.
     """
-    if mask_ratio < 0:
-        raise ValueError(f"mask_ratio must be positive, got {mask_ratio}.")
+    if not 0 <= mask_ratio <= 1:
+        raise ValueError(f"mask_ratio must be in [0, 1], got {mask_ratio}.")
     n_keep = n_keep_for_ratio(n_patches, mask_ratio)
     if mask_ratio == 0:
         return full_patch_mask(batch_size, n_patches)

@@ -47,17 +47,47 @@ def patchify(image: jnp.ndarray, patch_size: Sequence[int]) -> jnp.ndarray:
         raise ValueError(f"Patchify only supports 2D, 3D, and 4D images, got {len(patch_size)}D.")
     batch, *spatial, chans = image.shape
     _check_divisible(spatial, patch_size)
-    nd = len(patch_size)
-    grid = tuple(s // p for s, p in zip(spatial, patch_size))
+    cells = split_into_cells(image, patch_size)
+    return cells.reshape(batch, cells.shape[1], math.prod(patch_size) * chans)
+
+
+def split_into_cells(image: jnp.ndarray, cell_size: Sequence[int]) -> jnp.ndarray:
+    """(batch, *spatial, C) -> (batch, n_cells, *cell_size, C), row-major over
+    the cell grid.
+
+    The single source of the grid-split permutation — its cell/token order is
+    load-bearing for checkpoint compatibility (patchify tokens and the sparse
+    stem's visible cells must agree). Divisibility is the caller's contract.
+    """
+    batch, *spatial, chans = image.shape
+    nd = len(cell_size)
+    grid = tuple(s // c for s, c in zip(spatial, cell_size))
     shape: list[int] = [batch]
-    for g, p in zip(grid, patch_size):
-        shape += [g, p]
+    for g, c in zip(grid, cell_size):
+        shape += [g, c]
     shape.append(chans)
     x = image.reshape(shape)
     # (b, g0, p0, ..., gn, pn, c) -> (b, g0..gn, p0..pn, c)
     perm = [0] + [1 + 2 * i for i in range(nd)] + [2 + 2 * i for i in range(nd)] + [1 + 2 * nd]
     x = x.transpose(perm)
-    return x.reshape(batch, math.prod(grid), math.prod(patch_size) * chans)
+    return x.reshape(batch, math.prod(grid), *cell_size, chans)
+
+
+def merge_cells(cells: jnp.ndarray, grid_size: Sequence[int]) -> jnp.ndarray:
+    """Inverse of :func:`split_into_cells`: (batch, n_cells, *cell, C) -> image."""
+    batch, chans = cells.shape[0], cells.shape[-1]
+    grid_size = tuple(grid_size)
+    nd = len(grid_size)
+    cell = cells.shape[2:-1]
+    x = cells.reshape(batch, *grid_size, *cell, chans)
+    # (b, g0..gn, p0..pn, c) -> (b, g0, p0, ..., gn, pn, c)
+    perm = [0]
+    for i in range(nd):
+        perm += [1 + i, 1 + nd + i]
+    perm.append(1 + 2 * nd)
+    x = x.transpose(perm)
+    spatial = tuple(g * c for g, c in zip(grid_size, cell))
+    return x.reshape(batch, *spatial, chans)
 
 
 def unpatchify(x: jnp.ndarray, patch_size: Sequence[int], grid_size: Sequence[int]) -> jnp.ndarray:
@@ -84,14 +114,5 @@ def unpatchify(x: jnp.ndarray, patch_size: Sequence[int], grid_size: Sequence[in
         raise ValueError(
             f"Token channels {tok_chans} not divisible by patch volume {math.prod(patch_size)}."
         )
-    nd = len(patch_size)
     chans = tok_chans // math.prod(patch_size)
-    x = x.reshape(batch, *grid_size, *patch_size, chans)
-    # (b, g0..gn, p0..pn, c) -> (b, g0, p0, ..., gn, pn, c)
-    perm = [0]
-    for i in range(nd):
-        perm += [1 + i, 1 + nd + i]
-    perm.append(1 + 2 * nd)
-    x = x.transpose(perm)
-    spatial = tuple(g * p for g, p in zip(grid_size, patch_size))
-    return x.reshape(batch, *spatial, chans)
+    return merge_cells(x.reshape(batch, n_patches, *patch_size, chans), grid_size)

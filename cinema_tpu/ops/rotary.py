@@ -4,6 +4,16 @@ Functional formulation: cos/sin tables are pure functions of the static
 token count so they constant-fold under jit — no cache invalidation logic
 (the reference rebuilds cached tables on device/dtype/mode changes,
 rotary.py:84-106; under XLA the table is baked into the executable).
+
+DELIBERATE DIVERGENCE from the reference: its Attention permutes q/k to
+(batch, n_heads, n_tokens, head_dim) BEFORE calling RotaryEmbedding
+(reference vit.py:498-503), whose apply_rotary_emb treats axis 1 as the
+position axis (rotary.py:39) — so the reference rotates by HEAD index,
+broadcasting one angle across all tokens, which defeats the point of RoPE.
+This implementation applies true per-token rotation (position = token
+index). The flag defaults off on both sides and no published checkpoint
+uses it, so there is no checkpoint-compat concern; a reference-trained
+rotary=True checkpoint would NOT be behaviour-compatible here.
 """
 
 from __future__ import annotations

@@ -35,41 +35,26 @@ from typing import NamedTuple, Tuple
 import jax
 import jax.numpy as jnp
 
+from cinema_tpu.ops.patch import merge_cells, split_into_cells
+
 
 def image_to_cells(x: jnp.ndarray, grid_size: Tuple[int, ...]) -> jnp.ndarray:
     """(batch, *spatial, C) -> (batch, n_cells, *cell, C), cell-major order
-    matching patchify's token order (row-major over the grid)."""
-    batch, chans = x.shape[0], x.shape[-1]
+    matching patchify's token order (row-major over the grid) — both
+    delegate to the same :func:`cinema_tpu.ops.patch.split_into_cells`."""
     spatial = x.shape[1:-1]
     if len(spatial) != len(grid_size):
         raise ValueError(f"grid rank {len(grid_size)} != spatial rank {len(spatial)}.")
-    cell = tuple(s // g for s, g in zip(spatial, grid_size))
     for s, g in zip(spatial, grid_size):
         if s % g != 0:
             raise ValueError(f"spatial {spatial} not divisible by grid {grid_size}.")
-    nd = len(grid_size)
-    shape = [batch]
-    for g, c in zip(grid_size, cell):
-        shape += [g, c]
-    x = x.reshape(*shape, chans)
-    perm = [0] + [1 + 2 * i for i in range(nd)] + [2 + 2 * i for i in range(nd)] + [1 + 2 * nd]
-    x = x.transpose(perm)
-    return x.reshape(batch, math.prod(grid_size), *cell, chans)
+    cell = tuple(s // g for s, g in zip(spatial, grid_size))
+    return split_into_cells(x, cell)
 
 
 def cells_to_image(cells: jnp.ndarray, grid_size: Tuple[int, ...]) -> jnp.ndarray:
     """Inverse of :func:`image_to_cells`."""
-    batch, chans = cells.shape[0], cells.shape[-1]
-    nd = len(grid_size)
-    cell = cells.shape[2:-1]
-    x = cells.reshape(batch, *grid_size, *cell, chans)
-    perm = [0]
-    for i in range(nd):
-        perm += [1 + i, 1 + nd + i]
-    perm.append(1 + 2 * nd)
-    x = x.transpose(perm)
-    spatial = tuple(g * c for g, c in zip(grid_size, cell))
-    return x.reshape(batch, *spatial, chans)
+    return merge_cells(cells, grid_size)
 
 
 def gather_cells(cells: jnp.ndarray, keep_ids: jnp.ndarray) -> jnp.ndarray:

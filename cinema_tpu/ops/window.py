@@ -34,6 +34,10 @@ def get_patch_grid(
     for img_dim, patch_dim, ovlp_dim in zip(image_size, patch_size, patch_overlap):
         if patch_dim > img_dim:
             raise ValueError(f"Patch size {patch_dim} should be <= image size {img_dim}.")
+        if ovlp_dim >= patch_dim:
+            raise ValueError(
+                f"Patch overlap {ovlp_dim} must be < patch size {patch_dim}."
+            )
         end = img_dim - patch_dim + 1
         step = patch_dim - ovlp_dim
         idx = np.arange(0, end, step)

@@ -143,6 +143,35 @@ def test_mse_loss_masked_only():
     assert float(loss3) == 0.0
 
 
+def test_mse_loss_norm_target_matches_torch():
+    """norm_target normalisation must match the reference bit-for-bit —
+    incl. torch.Tensor.var's default correction=1 (reference mae.py:130)."""
+    import torch
+
+    rng = np.random.default_rng(3)
+    target = rng.normal(size=(2, 8, 6)).astype(np.float32)
+    pred = rng.normal(size=(2, 4, 6)).astype(np.float32)
+    mask = random_patch_mask(jax.random.PRNGKey(2), 2, 8, 0.5)
+    eps = 1.0e-6
+
+    loss, metrics = mse_loss(
+        jnp.asarray(target), jnp.asarray(pred), mask, norm_target=True, epsilon=eps
+    )
+
+    t = torch.from_numpy(target)
+    mean = t.mean(dim=-1, keepdim=True)
+    std = t.var(dim=-1, keepdim=True) ** 0.5  # unbiased (correction=1)
+    normed = (t - mean) / (std + eps)
+    gathered = torch.take_along_dim(
+        normed, torch.from_numpy(np.asarray(mask.mask_ids)).long()[..., None], dim=1
+    )
+    want = torch.nn.functional.mse_loss(torch.from_numpy(pred), gathered)
+    np.testing.assert_allclose(float(loss), float(want), rtol=1e-6)
+    np.testing.assert_allclose(
+        float(metrics["target_std"]), float(std.mean()), rtol=1e-6
+    )
+
+
 def test_mae_jit_end_to_end():
     views = ("sax", "lax_2c")
     model = _tiny_mae(views)

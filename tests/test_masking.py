@@ -96,3 +96,15 @@ def test_mask_jit_static_shapes():
 
     out = fn(jax.random.PRNGKey(0))
     assert out.shape == (2, 4)
+
+
+def test_mask_ratio_validation():
+    """Out-of-range ratios raise instead of silently mis-masking
+    (ratio 1.5 used to behave like 0.5 via a negative keep-count)."""
+    with pytest.raises(ValueError, match=r"\[0, 1\]"):
+        random_patch_mask(jax.random.PRNGKey(0), 2, 8, 1.5)
+    with pytest.raises(ValueError, match=r"\[0, 1\]"):
+        random_patch_mask(jax.random.PRNGKey(0), 2, 8, -0.1)
+    # boundary values stay valid
+    m0 = random_patch_mask(jax.random.PRNGKey(0), 2, 8, 0.0)
+    assert m0.mask_ids.shape[1] == 0

@@ -472,3 +472,10 @@ def test_sliding_window_matches_reference_serial_loop(aggregation):
     np.testing.assert_allclose(
         np.asarray(got["sax"]), want["sax"], atol=1e-4, rtol=1e-4
     )
+
+
+def test_patch_grid_overlap_validation():
+    with pytest.raises(ValueError, match="overlap"):
+        get_patch_grid((10,), (5,), (5,))
+    with pytest.raises(ValueError, match="overlap"):
+        get_patch_grid((10,), (5,), (6,))

@@ -300,6 +300,10 @@ class LandmarkDetectionDataset(SeededItemRNG):
         sigma: float = 3.0,
     ) -> None:
         self.data_dir = Path(data_dir)
+        if "view" in meta_df.columns:
+            # merged multi-view metadata (preprocess/landmark.py): keep only
+            # this view's rows — training/eval are per view like the reference
+            meta_df = meta_df[meta_df["view"] == view]
         self.meta_df = meta_df.reset_index(drop=True)
         self.view = view
         self.transform = transform
@@ -356,6 +360,22 @@ class LandmarkRegressionDataset(LandmarkDetectionDataset):
         return data
 
 
+def find_view_file(pid_dir: Path, pid: str, view: str) -> Optional[Path]:
+    """Resolve a study's 4D view NIfTI: accepts both the `{pid}_{view}_t`
+    naming of the bundled demos and the reference ingest's `{pid}_{view}`
+    (examples/dicom_to_nifti.py:366-380 writes without the `_t` suffix)."""
+    for name in (
+        f"{pid}_{view}_t.nii.gz",
+        f"{pid}_{view}_t.nii",
+        f"{pid}_{view}.nii.gz",
+        f"{pid}_{view}.nii",
+    ):
+        path = pid_dir / name
+        if path.exists():
+            return path
+    return None
+
+
 class UKBCineDataset(SeededItemRNG):
     """Streaming pretrain dataset: per item one random frame of each view's
     4D NIfTI via frame-seek reads (reference mae/pretrain.py:88-154)."""
@@ -383,9 +403,9 @@ class UKBCineDataset(SeededItemRNG):
         rng = self._item_rng(idx)
         data: Sample = {"pid": pid}
         for view in self.views:
-            path = pid_dir / f"{pid}_{view}_t.nii.gz"
-            if not path.exists():
-                path = pid_dir / f"{pid}_{view}_t.nii"
+            path = find_view_file(pid_dir, pid, view)
+            if path is None:
+                raise FileNotFoundError(f"No 4D NIfTI for view {view} in {pid_dir}.")
             header = load_nifti_header(path)
             t = int(rng.integers(0, header.shape[-1]))
             frame, _ = load_nifti_frame(path, t)
@@ -524,6 +544,17 @@ class BatchLoader:
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
 
+        def put_or_stop(item) -> bool:
+            # never block forever on a full queue: an abandoned consumer sets
+            # stop and stops draining — re-check it while waiting
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
         def producer():
             try:
                 if self.use_processes:
@@ -532,7 +563,8 @@ class BatchLoader:
                         if stop.is_set():
                             return
                         samples = list(pool.map(_worker_get, [(epoch, int(i)) for i in b]))
-                        q.put(collate(samples))
+                        if not put_or_stop(collate(samples)):
+                            return
                 else:
                     from concurrent.futures import ThreadPoolExecutor
 
@@ -541,11 +573,12 @@ class BatchLoader:
                             if stop.is_set():
                                 return
                             samples = list(pool.map(lambda i: self.dataset[int(i)], b))
-                            q.put(collate(samples))
+                            if not put_or_stop(collate(samples)):
+                                return
             except Exception as e:  # surface worker errors to the consumer
-                q.put(e)
+                put_or_stop(e)
             finally:
-                q.put(None)
+                put_or_stop(None)
 
         thread = threading.Thread(target=producer, daemon=True)
         thread.start()

@@ -225,21 +225,22 @@ def _int_tag(im: DicomImage, tag: Tuple[int, int]) -> Optional[int]:
     return int(value) if value is not None else None
 
 
-def find_series(dcm_dir: Union[str, Path]) -> List[Path]:
-    """Files of the lexicographically-last series in a folder.
-
-    Folders sometimes hold more than one acquisition; group the ``*.dcm``
-    files by SeriesInstanceUID (missing UIDs — as in the Kaggle dataset —
-    group together) and keep the last-sorted UID (reference
-    cinema/data/dicom.py:23-47).
-    """
-    series: Dict[str, List[Path]] = {}
+def _scan_series(dcm_dir: Union[str, Path]) -> List[Tuple[Path, DicomImage]]:
+    """Parse every ``*.dcm`` once and return (path, image) pairs of the
+    lexicographically-last SeriesInstanceUID (missing UIDs — as in the
+    Kaggle dataset — group together; reference cinema/data/dicom.py:23-47)."""
+    series: Dict[str, List[Tuple[Path, DicomImage]]] = {}
     for f in sorted(Path(dcm_dir).glob("*.dcm")):
-        suid = read_dicom(f).series_uid or "suid"
-        series.setdefault(suid, []).append(f)
+        img = read_dicom(f)
+        series.setdefault(img.series_uid or "suid", []).append((f, img))
     if not series:
         raise ValueError(f"No .dcm files found in {dcm_dir}.")
-    return sorted(series[sorted(series)[-1]])
+    return sorted(series[sorted(series)[-1]], key=lambda pair: pair[0])
+
+
+def find_series(dcm_dir: Union[str, Path]) -> List[Path]:
+    """Files of the lexicographically-last series in a folder."""
+    return [f for f, _img in _scan_series(dcm_dir)]
 
 
 def load_dicom_folder(slice_dirs: Sequence[Union[str, Path]]):
@@ -262,17 +263,28 @@ def load_dicom_folder(slice_dirs: Sequence[Union[str, Path]]):
     Returns:
         cinema_tpu.data.volume.Volume with array (x, y, z, t) float32.
     """
-    from cinema_tpu.data.volume import Volume  # local import to avoid a cycle
-
-    slice_dirs = [Path(d) for d in slice_dirs]
-    z = len(slice_dirs)
-    if z == 0:
-        raise ValueError("No slice directories given.")
-
     per_slice: List[List[DicomImage]] = []
     for d in slice_dirs:
-        frames = [read_dicom(f) for f in find_series(d)]
+        # single parse pass: _scan_series already decoded every file
+        frames = [img for _f, img in _scan_series(d)]
         per_slice.append(sort_cine_frames(frames))
+    return assemble_cine_volume(per_slice)
+
+
+def load_series_frames(dcm_dir: Union[str, Path]) -> List[DicomImage]:
+    """One folder's cine frames, parsed once and trigger-time sorted —
+    reusable by callers that both inspect and assemble (kaggle filtering)."""
+    return sort_cine_frames([img for _f, img in _scan_series(dcm_dir)])
+
+
+def assemble_cine_volume(per_slice: Sequence[List[DicomImage]]):
+    """Assemble a 4D cine volume from already-parsed per-slice frame lists
+    (the geometry/ordering core of :func:`load_dicom_folder`)."""
+    from cinema_tpu.data.volume import Volume  # local import to avoid a cycle
+
+    z = len(per_slice)
+    if z == 0:
+        raise ValueError("No slice directories given.")
 
     first = per_slice[0][0]
     nx, ny = first.pixel_array.shape[1], first.pixel_array.shape[0]  # cols, rows

@@ -19,7 +19,7 @@ import numpy as np
 import pandas as pd
 
 from cinema_tpu.constants import UKB_LAX_SLICE_SIZE, UKB_SAX_SLICE_SIZE, UKB_SPACING
-from cinema_tpu.data.dicom import load_dicom_folder
+from cinema_tpu.data.dicom import assemble_cine_volume, load_dicom_folder, load_series_frames
 from cinema_tpu.data.volume import Volume, get_origin_for_crop, get_sax_center
 from cinema_tpu.log import get_logger
 from cinema_tpu.metrics import ejection_fraction
@@ -85,16 +85,19 @@ def filter_consistent_sax_slices(
     return lo, hi - lo
 
 
-def _filter_sax_dirs(sax_dirs: List[Path]) -> List[Path]:
-    """Drop geometrically-inconsistent SAX slice folders before assembly."""
-    metas = [load_dicom_folder([d]) for d in sax_dirs]
+def _filter_sax_frames(sax_dirs: List[Path]) -> List[List]:
+    """Drop geometrically-inconsistent SAX slice folders before assembly;
+    returns the kept folders' parsed frame lists (each DICOM decoded ONCE —
+    the filter volumes and the final assembly reuse the same parse)."""
+    per_dir = [load_series_frames(d) for d in sax_dirs]
+    metas = [assemble_cine_volume([frames]) for frames in per_dir]
     start, count = filter_consistent_sax_slices(
         sizes=[m.array.shape[:2] + (m.array.shape[-1],) for m in metas],
         spacings=[m.spacing[:2] for m in metas],
         directions=[m.rotation for m in metas],
         origins=[m.origin for m in metas],
     )
-    return sax_dirs[start : start + count]
+    return per_dir[start : start + count]
 
 
 def crop_and_normalise_study(
@@ -138,8 +141,8 @@ def process_study(study_dir: Path, pid: str, out_dir: Path) -> Dict[str, float]:
     lax_4c_image = load_dicom_folder([dir_4c])
 
     sax_dirs = sorted(study_dir.glob("sax_*"), key=lambda x: int(x.name.split("sax_")[1]))
-    sax_dirs = _filter_sax_dirs(list(sax_dirs))
-    sax_image = load_dicom_folder(sax_dirs)  # (x, y, z, t)
+    sax_frames = _filter_sax_frames(list(sax_dirs))
+    sax_image = assemble_cine_volume(sax_frames)  # (x, y, z, t)
     orig_sax_spacing = tuple(sax_image.spacing)
 
     sax_image, lax_images = crop_and_normalise_study(

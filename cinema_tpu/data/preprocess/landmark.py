@@ -46,6 +46,7 @@ def process_view(data_dir: Path, out_dir: Path, view: str, scale: float = 0.25) 
         rows.append(
             {
                 "uid": uid,
+                "view": view,
                 "path": f"{view}/images/{uid}.png",
                 "x1": coords[0, 0],
                 "y1": coords[0, 1],
@@ -61,9 +62,17 @@ def process_view(data_dir: Path, out_dir: Path, view: str, scale: float = 0.25) 
     df = df.sample(frac=1.0, random_state=0).reset_index(drop=True)
     train, val = df.iloc[: int(0.8 * n)], df.iloc[int(0.8 * n) : int(0.9 * n)]
     test = df.iloc[int(0.9 * n) :]
-    train.to_csv(out_dir / "train_metadata.csv", index=False)
-    val.to_csv(out_dir / "val_metadata.csv", index=False)
-    test.to_csv(out_dir / "test_metadata.csv", index=False)
+    for name, part in (("train", train), ("val", val), ("test", test)):
+        csv_path = out_dir / f"{name}_metadata.csv"
+        if csv_path.exists():
+            # merge with the other view's rows instead of overwriting them
+            # (processing lax_2c then lax_4c into one out_dir); re-running
+            # the same view replaces its own rows
+            old = pd.read_csv(csv_path)
+            if "view" in old.columns:
+                old = old[old["view"] != view]
+            part = pd.concat([old, part], ignore_index=True)
+        part.to_csv(csv_path, index=False)
     logger.info(f"{view}: {len(train)}/{len(val)}/{len(test)} train/val/test.")
 
 

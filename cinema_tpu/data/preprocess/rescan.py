@@ -275,7 +275,14 @@ def process_paired(data_dir: Path, out_dir: Path, split: str = "test_retest_100"
             lax_2c_image.save(out_dir_i / "lax_2c_t.nii.gz")
             lax_4c_image.save(out_dir_i / "lax_4c_t.nii.gz")
 
-    pd.DataFrame(records).to_csv(data_df_path, index=False)
+    df = pd.DataFrame(records)
+    # B1 and B2 both map to pid scan_NN_B (the reference's zip(ids, "ABB"),
+    # rescan/preprocess.py:411-419) so B2's NIfTIs overwrite B1's on disk;
+    # keep only the LAST metadata row per pid so metadata matches the files
+    # instead of carrying a duplicate pid
+    if len(df):
+        df = df.drop_duplicates(subset="pid", keep="last")
+    df.to_csv(data_df_path, index=False)
     logger.info(f"Saved metadata to {data_df_path}.")
 
 

@@ -108,6 +108,8 @@ def split_dicom_files_and_convert(
     series_name_to_volume: Dict[str, Volume] = {}
     if suffix == "lax":
         for series_name in manifest_df[SERIES_COLUMN].unique():
+            if "InlineVF" in str(series_name) or "Inline_VF_Results" in str(series_name):
+                continue  # skipped above: no series folder exists for these
             series_dir = dicom_dir / str(series_name)
             volume = load_dicom_folder([series_dir])
             volume.save(nifti_dir / f"{eid}_{instance_id}_{series_name}.nii.gz")

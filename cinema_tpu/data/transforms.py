@@ -189,7 +189,6 @@ class RandAffined:
         if ref_key is None:
             return data
         x = data[ref_key]
-        nd = x.ndim - 1 if x.ndim > len(self.translate_range) else x.ndim
         nd = len(self.translate_range) if self.translate_range else (x.ndim - 1)
         spatial = np.array(x.shape[:nd], dtype=np.float64)
 
@@ -336,6 +335,9 @@ def get_segmentation_transforms(config) -> Tuple[Compose, Compose]:
         tcfg = view_cfg(config.transform, view)
         train += [
             RandAdjustContrastd(f"{view}_image", config.transform.prob, tuple(config.transform.gamma)),
+            # NOTE: noise (std 0.1) BEFORE min-max scaling is the reference's
+            # order (segmentation/dataset.py:170-172); on uint8-scale inputs
+            # it is a near-no-op, kept as-is for augmentation parity
             RandGaussianNoised(f"{view}_image", config.transform.prob),
             ScaleIntensityd(f"{view}_image"),
             RandAffined(

@@ -121,6 +121,9 @@ def local_data_shard_count(mesh) -> int:
     count = 0
     for idx in range(mesh.devices.shape[data_axis]):
         row = np.take(mesh.devices, idx, axis=data_axis).ravel()
-        if row[0] in local:
+        # a row counts if ANY of its devices is local: when the 'model' axis
+        # straddles hosts, each such host holds addressable shards of that
+        # batch row and must contribute its data
+        if any(d in local for d in row):
             count += 1
     return count

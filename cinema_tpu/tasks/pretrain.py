@@ -48,15 +48,14 @@ DEFAULT_CONFIG = Path(__file__).parents[1] / "configs" / "mae.yaml"
 def scan_manifest(data_dir: Path, views: List[str]) -> List[str]:
     """Find study dirs containing all views' 4D NIfTIs
     (reference pretrain.py:49-85 manifest scan)."""
+    from cinema_tpu.data.datasets import find_view_file
+
     pids = []
     for pid_dir in sorted(data_dir.iterdir()):
         if not pid_dir.is_dir():
             continue
         pid = pid_dir.name
-        if all(
-            (pid_dir / f"{pid}_{v}_t.nii.gz").exists() or (pid_dir / f"{pid}_{v}_t.nii").exists()
-            for v in views
-        ):
+        if all(find_view_file(pid_dir, pid, v) is not None for v in views):
             pids.append(pid)
     return pids
 

@@ -86,7 +86,7 @@ def maybe_subset_dataset(config: Config, train_meta_df, val_meta_df, group_col: 
         val_ratio = min(config.data.max_n_samples / len(val_meta_df), 1.0)
         if group_col:
             train_meta_df = train_meta_df.groupby(group_col).sample(frac=train_ratio, random_state=0)
-            val_meta_df = val_meta_df.groupby(group_col).sample(frac=train_ratio, random_state=0)
+            val_meta_df = val_meta_df.groupby(group_col).sample(frac=val_ratio, random_state=0)
         else:
             train_meta_df = train_meta_df.sample(frac=train_ratio, random_state=0, ignore_index=True)
             val_meta_df = val_meta_df.sample(frac=val_ratio, random_state=0, ignore_index=True)

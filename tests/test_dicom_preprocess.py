@@ -272,7 +272,10 @@ class TestRescanPreprocess:
 
         process_paired(tmp_path / "data", tmp_path / "out", split="test_retest_100")
         meta = pd.read_csv(tmp_path / "out" / "test_retest_100_metadata.csv")
-        assert list(meta["pid"]) == ["scan_00_A", "scan_00_B", "scan_00_B"]
+        # B1 and B2 share pid scan_00_B (reference zip(ids, "ABB") quirk,
+        # rescan/preprocess.py:411-419) and B2's files overwrite B1's —
+        # metadata keeps ONE row per pid (the last, matching the files)
+        assert list(meta["pid"]) == ["scan_00_A", "scan_00_B"]
         np.testing.assert_allclose(meta.loc[0, "ef"], 60.0)
         np.testing.assert_allclose(meta.loc[1, "edv"], 100.0)  # mean(110, 90)
         for pid in meta["pid"].unique():
@@ -341,6 +344,11 @@ class TestUKBDicom:
         ):
             for name in flat_series(lax_dir, series, pos, orient, uid=f"1.2.{i}"):
                 rows_csv.append({"filename": name, "series discription": series})
+        # known-bad derived series: listed in the manifest but its files are
+        # never copied into a series folder — assembly must skip it too
+        rows_csv.append(
+            {"filename": "IM-9999.dcm", "series discription": "InlineVF_Results"}
+        )
         pd.DataFrame(rows_csv).to_csv(lax_dir / "manifest.csv", index=False)
 
         sax_dir = tmp_path / "1000001_20208_2_0"
@@ -368,3 +376,11 @@ class TestUKBDicom:
         for view in ("lax_2c", "lax_3c", "lax_4c"):
             arr, _ = load_nifti(folder / f"1000001_2_{view}.nii.gz")
             assert arr.shape == (256, 256, 1, n_frames)
+
+        # the ingest output (reference `{pid}_{view}` naming, no `_t` suffix)
+        # must be discoverable by the pretrain manifest scan
+        from cinema_tpu.tasks.pretrain import scan_manifest
+
+        assert scan_manifest(out_dir, ["sax", "lax_2c", "lax_3c", "lax_4c"]) == [
+            "1000001_2"
+        ]

@@ -118,3 +118,52 @@ def test_batchloader_no_shard_by_default():
     loader = BatchLoader(_Items(), batch_size=2, n_workers=1)
     ids = [int(v[0]) for batch in loader for v in batch["x"]]
     assert ids == [0, 1, 2, 3, 4]
+
+
+def test_batchloader_abandoned_consumer_stops_producer():
+    """Dropping the iterator mid-epoch must stop the producer thread even if
+    it is blocked on a full queue (put_or_stop re-checks the stop event)."""
+    import threading
+    import time
+
+    from cinema_tpu.data.datasets import BatchLoader
+
+    calls = []
+
+    class _DS:
+        def __len__(self):
+            return 200
+
+        def __getitem__(self, i):
+            calls.append(i)
+            return {"x": np.zeros((1,), np.float32)}
+
+    loader = BatchLoader(_DS(), batch_size=2, n_workers=2, prefetch=1)
+    before = threading.active_count()
+    it = iter(loader)
+    next(it)
+    it.close()  # generator finally -> stop.set()
+    deadline = time.time() + 5.0
+    while threading.active_count() > before and time.time() < deadline:
+        time.sleep(0.05)
+    n1 = len(calls)
+    time.sleep(0.3)
+    assert len(calls) == n1, "producer kept fetching after the consumer left"
+    assert threading.active_count() <= before
+
+
+def test_maybe_subset_dataset_val_ratio_grouped():
+    """The grouped branch must subsample val with VAL's own ratio."""
+    import pandas as pd
+
+    from cinema_tpu.config import Config
+    from cinema_tpu.train.loop import maybe_subset_dataset
+
+    train = pd.DataFrame({"pid": range(100), "g": [i % 2 for i in range(100)]})
+    val = pd.DataFrame({"pid": range(20), "g": [i % 2 for i in range(20)]})
+    config = Config()
+    config.data = {"max_n_samples": 10, "proportion": 1.0}
+    config.seed = 0
+    sub_train, sub_val = maybe_subset_dataset(config, train, val, group_col="g")
+    assert len(sub_train) == 10  # 100 * 10/100
+    assert len(sub_val) == 10  # 20 * min(10/20, 1) — NOT 20 * 0.1

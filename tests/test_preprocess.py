@@ -171,6 +171,24 @@ def test_landmark_preprocess_end_to_end(tmp_path, monkeypatch):
         # scaled coordinates stay inside the downscaled image
         assert meta[["x1", "x2", "x3", "y1", "y2", "y3"]].to_numpy().max() < 32
 
+    # both views into ONE out_dir: the split CSVs merge instead of the
+    # second view overwriting the first; the dataset filters by view
+    shared = tmp_path / "landmark_shared"
+    for view in ["lax_2c", "lax_4c"]:
+        monkeypatch.setattr(
+            "sys.argv",
+            ["landmark_preprocess", "--data_dir", str(root), "--out_dir", str(shared),
+             "--view", view, "--scale", "0.25"],
+        )
+        main()
+    meta = pd.read_csv(shared / "train_metadata.csv")
+    assert len(meta) == 16 and set(meta["view"]) == {"lax_2c", "lax_4c"}
+    from cinema_tpu.data.datasets import LandmarkDetectionDataset
+
+    ds = LandmarkDetectionDataset(shared, meta, "lax_4c")
+    assert len(ds) == 8
+    assert all(ds.meta_df["view"] == "lax_4c")
+
 
 def test_emidec_preprocess_end_to_end(tmp_path, monkeypatch):
     from cinema_tpu.data.preprocess.emidec import main

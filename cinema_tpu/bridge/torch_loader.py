@@ -190,18 +190,23 @@ def load_torch_state_dict(
             layer_keys = [
                 flax_path_to_torch_key(p) for p in _scanned_layer_paths(path, depth)
             ]
-            if all(k is not None and k in state for k in layer_keys):
-                stacked = np.stack(
-                    [
-                        _convert_tensor(state[k], tuple(value.shape[1:]), path)
-                        for k in layer_keys
-                    ]
-                )
-                new_flat[path] = jnp.asarray(stacked, dtype=value.dtype)
-                used.update(layer_keys)
-            else:
-                missing.extend(k for k in layer_keys if k is not None and k not in state)
-                new_flat[path] = value
+            # partial load like the unrolled layout: each present layer's
+            # tensor is converted, absent layers keep the template slice
+            layers = []
+            for d, k in enumerate(layer_keys):
+                if k is not None and k in state:
+                    layers.append(
+                        jnp.asarray(
+                            _convert_tensor(state[k], tuple(value.shape[1:]), path),
+                            dtype=value.dtype,
+                        )
+                    )
+                    used.add(k)
+                else:
+                    if k is not None:
+                        missing.append(k)
+                    layers.append(value[d])
+            new_flat[path] = jnp.stack(layers)
             continue
         torch_key = flax_path_to_torch_key(path)
         if torch_key is None or torch_key not in state:
@@ -265,14 +270,7 @@ def _unstack_scanned(flat: Dict[Tuple[str, ...], Any]) -> Dict[Tuple[str, ...], 
     models export to the same torch state_dict as the unrolled layout."""
     out: Dict[Tuple[str, ...], Any] = {}
     for path, value in flat.items():
-        idx = next(
-            (
-                i
-                for i in range(len(path) - 1)
-                if path[i] == "blocks" and path[i + 1] == "block"
-            ),
-            None,
-        )
+        idx = _scanned_block_idx(path)
         if idx is None:
             out[path] = value
             continue
@@ -378,7 +376,7 @@ def loaded_freeze_mask(params: Any, loaded_torch_keys: Iterable[str]) -> Any:
         parts = tuple(getattr(k, "key", str(k)) for k in path)
         if _scanned_block_idx(parts) is not None:
             # scan-stacked leaf: freeze only if every unrolled layer loaded
-            layer_keys = _scanned_layer_paths(parts, np.asarray(value).shape[0])
+            layer_keys = _scanned_layer_paths(parts, value.shape[0])
             return all(flax_path_to_torch_key(p) in loaded for p in layer_keys)
         torch_key = flax_path_to_torch_key(parts)
         return torch_key in loaded

@@ -39,9 +39,10 @@ def maybe_initialize_distributed(multiprocess: bool = False) -> None:
 
     Call once at entry-point start, BEFORE any other jax call touches the
     backend. On TPU pods the coordinator/process id/count are discovered
-    from the environment; explicit values can be passed via the standard
-    JAX env vars (JAX_COORDINATOR_ADDRESS, JAX_NUM_PROCESSES,
-    JAX_PROCESS_ID).
+    from the environment (Slurm/MPI/k8s cluster detection); for manual
+    launches set JAX_COORDINATOR_ADDRESS, JAX_NUM_PROCESSES and
+    JAX_PROCESS_ID — jax itself only auto-reads the coordinator address,
+    so the count/id are forwarded here explicitly.
 
     No-op unless ``multiprocess`` is set (reference analog: config.ddp
     gating mp.spawn, cinema/mae/pretrain.py:434-448).
@@ -49,7 +50,19 @@ def maybe_initialize_distributed(multiprocess: bool = False) -> None:
     global _initialized
     if not multiprocess or _initialized:
         return
-    jax.distributed.initialize()
+    import os
+
+    platforms = jax.config.jax_platforms or os.environ.get("JAX_PLATFORMS", "")
+    if platforms.strip() == "cpu":
+        # multi-process CPU (tests, dry runs) needs a collectives backend;
+        # harmless before backend init, never reached on TPU pods
+        jax.config.update("jax_cpu_collectives_implementation", "gloo")
+    num = os.environ.get("JAX_NUM_PROCESSES")
+    pid = os.environ.get("JAX_PROCESS_ID")
+    jax.distributed.initialize(
+        num_processes=int(num) if num else None,
+        process_id=int(pid) if pid else None,
+    )
     _initialized = True
     logger.info(
         f"distributed: process {jax.process_index()}/{jax.process_count()}, "

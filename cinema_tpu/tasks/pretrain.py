@@ -137,7 +137,10 @@ def run(config: Config) -> None:
     start_epoch = 0
     if config.train.get("ckpt_path"):
         ckpt = Path(config.train.ckpt_path)
-        state = load_checkpoint(ckpt, jax.device_get(state))
+        # sharded restore: reads straight into the mesh placement (works
+        # multi-host and across topology changes; device_get of a global
+        # state would fail on non-addressable arrays)
+        state = load_checkpoint(ckpt, state, shardings=shardings)
         start_epoch = int(state.step) // steps_per_epoch
         logger.info(f"Resumed from {ckpt} at epoch {start_epoch}.")
 

@@ -13,6 +13,7 @@ from pathlib import Path
 from typing import Any, List, Optional, Union
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 import orbax.checkpoint as ocp
 
@@ -45,8 +46,25 @@ def save_checkpoint(ckpt_dir: Union[str, Path], state: Any, epoch: int) -> Path:
     return path
 
 
-def load_checkpoint(path: Union[str, Path], state_template: Any) -> Any:
-    """Restore a train state saved by :func:`save_checkpoint`."""
+def load_checkpoint(
+    path: Union[str, Path], state_template: Any, shardings: Any = None
+) -> Any:
+    """Restore a train state saved by :func:`save_checkpoint`.
+
+    With ``shardings`` the restore is distribution-aware: orbax reads each
+    array straight into the given placement (no host gather, works when the
+    saved arrays are not fully addressable on this process) and re-shards
+    as needed — a checkpoint written on one mesh restores onto any other
+    (elastic resume; the reference's `.pt` resume is single-device only,
+    cinema/optim.py:263-294). ``state_template`` only provides the tree
+    structure and shapes/dtypes; it may be concrete or abstract.
+    """
+    if shardings is not None:
+        state_template = jax.tree_util.tree_map(
+            lambda x, s: jax.ShapeDtypeStruct(jnp.shape(x), x.dtype, sharding=s),
+            state_template,
+            shardings,
+        )
     with ocp.StandardCheckpointer() as ckptr:
         return ckptr.restore(Path(path).absolute(), state_template)
 

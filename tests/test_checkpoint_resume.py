@@ -1,0 +1,116 @@
+"""Orbax train-state checkpointing: cross-mesh (elastic) restore and the
+pretrain entry point's save -> resume round trip (reference analog:
+cinema/optim.py:229-294 .pt save/load + mae/pretrain.py:370-380 resume —
+which are single-device only; the sharded restore here works across
+topology changes)."""
+
+import json
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+from flax import linen as nn
+
+from cinema_tpu.parallel.mesh import make_mesh
+from cinema_tpu.train.checkpoint import load_checkpoint, save_checkpoint
+from cinema_tpu.train.state import make_train_state
+
+
+class _Model(nn.Module):
+    @nn.compact
+    def __call__(self, x):
+        # (256, 256) = 65536 elems >= the FSDP threshold -> genuinely sharded
+        return nn.Dense(256, name="big")(x)
+
+
+def _make_state(mesh, fsdp):
+    model = _Model()
+    init_fn = lambda: model.init(jax.random.PRNGKey(0), jnp.zeros((1, 256)))  # noqa: E731
+    return make_train_state(init_fn, optax.adamw(1e-3), mesh, fsdp=fsdp)
+
+
+def test_cross_mesh_restore(tmp_path):
+    """Save on a 4x2 FSDP mesh, restore onto a 2x1 non-FSDP mesh: values are
+    identical and land in the new placement without a host-gather template."""
+    mesh_a = make_mesh(n_model=2)
+    state_a, _ = _make_state(mesh_a, fsdp=True)
+    kernel_spec = state_a.params["params"]["big"]["kernel"].sharding.spec
+    assert "data" in [ax for ax in kernel_spec if ax]  # FSDP actually sharded
+
+    path = save_checkpoint(tmp_path, state_a, epoch=3)
+    assert path.name == "ckpt_3"
+
+    mesh_b = make_mesh(n_data=2, n_model=1)
+    state_b, shardings_b = _make_state(mesh_b, fsdp=False)
+    # clobber values so equality below proves the restore, not the init
+    state_b = jax.tree_util.tree_map(lambda x: x * 0 - 1.0, state_b)
+    restored = load_checkpoint(path, state_b, shardings=shardings_b)
+
+    for got, want in zip(
+        jax.tree_util.tree_leaves(restored), jax.tree_util.tree_leaves(jax.device_get(state_a))
+    ):
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+    kernel = restored.params["params"]["big"]["kernel"]
+    assert kernel.sharding.mesh.shape["data"] == 2  # placed on the NEW mesh
+
+
+@pytest.mark.slow
+def test_pretrain_run_and_resume(tmp_path):
+    """ukb_mae_pretrain end-to-end on synthetic 4D studies, then resume from
+    its checkpoint: the second run starts past epoch 0 and extends the
+    metrics log instead of retraining from scratch."""
+    from cinema_tpu.config import apply_overrides, load_config
+    from cinema_tpu.data.nifti import save_nifti
+    from cinema_tpu.tasks.pretrain import DEFAULT_CONFIG, run
+
+    data_dir = tmp_path / "ukb"
+    rng = np.random.default_rng(0)
+    for i in range(8):
+        pid = f"study{i:02d}"
+        pid_dir = data_dir / pid
+        pid_dir.mkdir(parents=True)
+        sax = rng.uniform(0, 1, size=(12, 12, 3, 2)).astype(np.float32)
+        lax = rng.uniform(0, 1, size=(26, 26, 1, 2)).astype(np.float32)
+        save_nifti(pid_dir / f"{pid}_sax_t.nii.gz", sax, spacing=(1, 1, 10, 1))
+        save_nifti(pid_dir / f"{pid}_lax_2c_t.nii.gz", lax, spacing=(1, 1, 10, 1))
+
+    def cfg(n_epochs, ckpt_path=None):
+        overrides = [
+            f"data.dir={data_dir}",
+            "data.sax.patch_size=[16,16,4]",
+            "data.lax.patch_size=[32,32]",
+            "transform.scale_range=0.1",
+            "model.size=tiny",
+            "model.views=[sax,lax_2c]",
+            "model.enc_conv_chans=[4,8]",
+            "model.enc_conv_n_blocks=1",
+            "train.batch_size=8",
+            "train.batch_size_per_device=1",
+            f"train.n_epochs={n_epochs}",
+            "train.n_warmup_epochs=0",
+            "train.max_n_ckpts=3",
+            "train.n_workers_per_device=2",
+            "grad_ckpt=false",
+            f"logging.dir={tmp_path / 'runs'}",
+        ]
+        if ckpt_path:
+            overrides.append(f"train.ckpt_path={ckpt_path}")
+        return apply_overrides(load_config(DEFAULT_CONFIG), overrides)
+
+    run(cfg(n_epochs=1))
+    run_dirs = sorted((tmp_path / "runs").iterdir())
+    first = run_dirs[0]
+    assert (first / "ckpt_0").exists()
+    assert (first / "cinema.safetensors").exists()
+
+    run(cfg(n_epochs=2, ckpt_path=first / "ckpt_0"))
+    second = [d for d in sorted((tmp_path / "runs").iterdir()) if d != first][0]
+    metrics = [
+        json.loads(line) for line in (second / "metrics.jsonl").read_text().splitlines()
+    ]
+    epochs = [m["epoch"] for m in metrics if "loss" in m]
+    assert epochs == [1], f"resume must continue at epoch 1, logged {epochs}"
+    assert np.isfinite([m["loss"] for m in metrics if "loss" in m][0])
+    assert (second / "ckpt_1").exists()

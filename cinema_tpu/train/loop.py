@@ -21,7 +21,12 @@ from cinema_tpu.data.datasets import BatchLoader, device_prefetch
 from cinema_tpu.log import get_logger, init_run_dir
 from cinema_tpu.parallel.mesh import batch_shardings, make_mesh
 from cinema_tpu.parallel.multihost import local_data_shard_count, make_global_batch
-from cinema_tpu.train.checkpoint import CheckpointRetention, save_checkpoint, save_params_safetensors
+from cinema_tpu.train.checkpoint import (
+    CheckpointRetention,
+    load_checkpoint,
+    save_checkpoint,
+    save_params_safetensors,
+)
 from cinema_tpu.train.optim import EarlyStopping, build_optimizer, get_n_accum_steps
 from cinema_tpu.train.state import make_supervised_train_step, make_train_state
 
@@ -242,6 +247,17 @@ def run_train(
 
     # run dir + run.json (tags + flattened config — the reference's wandb
     # run record, log.py:45-76/train.py:243-257)
+    # resume an interrupted fine-tune (beyond the reference, whose run_train
+    # cannot resume — cinema/train.py:171-351): the full train state restores
+    # sharded onto the current mesh; early stopping restarts fresh (its best
+    # metric is recomputed at the next eval)
+    start_epoch = 0
+    if config.train.get("resume_path"):
+        resume = Path(config.train.resume_path)
+        state = load_checkpoint(resume, state, shardings=state_shardings)
+        start_epoch = int(state.step) // steps_per_epoch
+        logger.info(f"Resumed from {resume} at epoch {start_epoch}.")
+
     out_dir = init_run_dir(config, out_dir=out_dir)
     save_config(config, out_dir / "config.yaml")
     metrics_logger = MetricsLogger(out_dir)
@@ -254,7 +270,7 @@ def run_train(
 
     import jax.numpy as jnp
 
-    for epoch in range(config.train.n_epochs):
+    for epoch in range(start_epoch, config.train.n_epochs):
         epoch_metrics: Dict[str, list] = {}
 
         def put(batch):

@@ -139,3 +139,26 @@ def test_acdc_eval_loads_exported_safetensors(acdc_dir, tmp_path):
     metrics = segmentation_eval_dataloader(model, restored, val_loader, cfg)
     assert "mean_dice_score" in metrics
     assert np.isfinite(metrics["mean_dice_score"])
+
+
+def test_acdc_resume_from_checkpoint(acdc_dir, tmp_path):
+    """A fine-tune interrupted after its checkpoint resumes past the epochs
+    already trained (train.resume_path; beyond the reference, whose run_train
+    cannot resume)."""
+    from cinema_tpu.config import apply_overrides
+    from cinema_tpu.tasks.segmentation.acdc import run
+
+    cfg = _tiny_config(acdc_dir, tmp_path / "runs")
+    run(cfg)  # n_epochs=2, eval_interval=2 -> saves ckpt_1
+    first = next((tmp_path / "runs").iterdir())
+    ckpt = first / "ckpt_1"
+    assert ckpt.exists()
+
+    cfg2 = _tiny_config(acdc_dir, tmp_path / "runs_resumed")
+    cfg2 = apply_overrides(cfg2, ["train.n_epochs=4", f"train.resume_path={ckpt}"])
+    run(cfg2)
+    second = next((tmp_path / "runs_resumed").iterdir())
+    metrics = [json.loads(line) for line in (second / "metrics.jsonl").read_text().splitlines()]
+    train_epochs = [m["epoch"] for m in metrics if "train_loss" in m]
+    assert train_epochs == [2, 3], f"resume must continue at epoch 2, logged {train_epochs}"
+    assert (second / "ckpt_3").exists()

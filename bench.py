@@ -190,13 +190,33 @@ def bench_seg_latency() -> dict:
     }
 
 
+# serving lever configs for the in-bench A/B (see README "Serving
+# decomposition"): segmented z-fold convs and streaming flash attention are
+# numerics-proven equal to the defaults (tests/test_layers.py,
+# tests/test_flash_attention.py); which is FASTER is hardware-dependent, so
+# the bench times each and keeps the best. Env vars are read at trace time —
+# a fresh jit per config re-reads them.
+_SERVING_CONFIGS = (
+    ("base", {"CINEMA_TPU_ZFOLD_SEG": "0", "CINEMA_TPU_FLASH_STREAM": "0"}),
+    ("zseg4", {"CINEMA_TPU_ZFOLD_SEG": "4", "CINEMA_TPU_FLASH_STREAM": "0"}),
+    ("stream", {"CINEMA_TPU_ZFOLD_SEG": "0", "CINEMA_TPU_FLASH_STREAM": "1"}),
+    ("zseg4+stream", {"CINEMA_TPU_ZFOLD_SEG": "4", "CINEMA_TPU_FLASH_STREAM": "1"}),
+)
+
+
 def bench_serving() -> dict:
     """50-frame cine segmentation, frames chunked to bound activation memory.
 
     chunk=8: bf16 tiles have 16 sublanes and the decoder's finest tensors
     put batch in sublanes — chunk 10 pads to 16 (measured 23.6 frames/s)
     while 8 (and 16) reach ~31 frames/s on v5e. The tail chunk reuses the
-    same compiled shape by padding to 8."""
+    same compiled shape by padding to 8.
+
+    Self-tuning: unless the lever env vars are pinned by the caller, every
+    ``_SERVING_CONFIGS`` variant is compiled + timed and the fastest wins;
+    the winning env stays set so downstream benches inherit it."""
+    import os
+
     from cinema_tpu.inference import video_forward
 
     config, model, params = _build_convunetr(jnp.bfloat16)
@@ -204,27 +224,49 @@ def bench_serving() -> dict:
     video = jnp.asarray(
         np.random.default_rng(0).random((50, 192, 192, 16, 1), dtype=np.float32)
     )
-    fn = jax.jit(
-        lambda p, v: video_forward(
-            lambda frames: model.apply(
-                p, {"sax": frames}, method=model.predict_labels
-            )["sax"],
-            v,
-            chunk,
-        )
-    )
-    _sync(fn(params, video)[0, 0, 0, 0])  # compile
-    times = []
-    for _ in range(5):
-        t0 = time.perf_counter()
-        _sync(fn(params, video)[0, 0, 0, 0])
-        times.append(time.perf_counter() - t0)
-    dt = sorted(times)[len(times) // 2]
+
+    pinned = "CINEMA_TPU_ZFOLD_SEG" in os.environ or "CINEMA_TPU_FLASH_STREAM" in os.environ
+    configs = (("pinned", {}),) if pinned else _SERVING_CONFIGS
+
+    def time_config(env) -> float:
+        if not pinned:
+            os.environ.update(env)
+
+        def run(p, v):  # fresh function per config: env is read at trace time
+            return video_forward(
+                lambda frames: model.apply(
+                    p, {"sax": frames}, method=model.predict_labels
+                )["sax"],
+                v,
+                chunk,
+            )
+
+        fn = jax.jit(run)
+        _sync(fn(params, video)[0, 0, 0, 0])  # compile
+        times = []
+        for _ in range(5):
+            t0 = time.perf_counter()
+            _sync(fn(params, video)[0, 0, 0, 0])
+            times.append(time.perf_counter() - t0)
+        return sorted(times)[len(times) // 2]
+
+    timings = {}
+    for name, env in configs:
+        try:
+            timings[name] = time_config(env)
+        except Exception:  # a lever variant must never sink the benchmark
+            continue
+    best = min(timings, key=timings.get)
+    if not pinned:  # downstream benches (seg latency) inherit the winner
+        os.environ.update(dict(configs)[best])
+    dt = timings[best]
     return {
         "metric": "seg_serving_throughput",
         "value": round(50 / dt, 1),
         "unit": "frames/sec/chip (50-frame cine, 192x192x16)",
         "p50_ms_per_study": round(dt * 1000, 1),
+        "config": best,
+        "config_frames_per_sec": {k: round(50 / v, 1) for k, v in timings.items()},
     }
 
 
@@ -238,14 +280,16 @@ def main() -> None:
 
     results = []
     if "--pretrain-only" not in sys.argv:
-        try:
-            results.append(bench_seg_latency())
-        except Exception as e:  # secondary metrics must not break the driver line
-            print(json.dumps({"metric": "seg_sliding_window_latency", "error": str(e)[:200]}))
+        # serving first: its lever autotune leaves the winning env config
+        # set, and the sliding-window latency bench inherits it
         try:
             results.append(bench_serving())
-        except Exception as e:
+        except Exception as e:  # secondary metrics must not break the driver line
             print(json.dumps({"metric": "seg_serving_throughput", "error": str(e)[:200]}))
+        try:
+            results.append(bench_seg_latency())
+        except Exception as e:
+            print(json.dumps({"metric": "seg_sliding_window_latency", "error": str(e)[:200]}))
     for r in results:
         print(json.dumps(r), flush=True)
     print(json.dumps(bench_pretrain(profile_dir)), flush=True)

@@ -420,6 +420,11 @@ class _ZFoldConv3(nn.Module):
             jnp.float32,
         )
         z_seg = _pick_zseg(z)
+        if 0 in x2.shape:
+            # degenerate (zero-size) spatial dims: the windowed reshape below
+            # cannot represent them; the plain band path matches dense conv
+            # behavior (empty output) exactly
+            z_seg = 0
         if z_seg:
             halo = self.kernel_size[2] // 2
             xw = _zseg_windows(x2, z, ci, z_seg, halo)

@@ -340,51 +340,6 @@ def zfold_weight(w: jnp.ndarray, z: int) -> jnp.ndarray:
     return out
 
 
-def _pick_zseg(z: int) -> int:
-    """Segment length for the segmented band (0 = whole-Z band).
-
-    The full-Z band pays ~Z/3x redundant FLOPs (the (3,3,Z*Ci,Z*Co) kernel
-    is 3/Z nonzero); folding z in segments of 4 with a 1-slice halo cuts
-    that to (4+2)/3 = 2x while the contraction still spans
-    (z_seg+2)*Ci >= 192 lanes (im2col K = 9*192, ~3% tile padding).
-    """
-    import os
-
-    seg = int(os.environ.get("CINEMA_TPU_ZFOLD_SEG", "0"))
-    return seg if seg > 0 and z > seg and z % seg == 0 else 0
-
-
-def zfold_seg_weight(w: jnp.ndarray, z_seg: int, n_seg: int) -> jnp.ndarray:
-    """(k,k,kz,Ci,Co) -> (k,k,(z_seg+2*halo)*Ci, n_seg*z_seg*Co): the
-    per-segment banded kernel of ``zfold_weight``, tiled over ``n_seg``
-    feature groups (grouped conv, one group per z-segment)."""
-    kx, ky, kz, ci, co = w.shape
-    halo = kz // 2
-    zin = z_seg + 2 * halo
-    out = jnp.zeros((kx, ky, zin * ci, z_seg * co), w.dtype)
-    for jo in range(z_seg):
-        for dz in range(-halo, halo + 1):
-            zi = jo + halo + dz
-            out = out.at[:, :, zi * ci : (zi + 1) * ci, jo * co : (jo + 1) * co].set(
-                w[:, :, dz + halo]
-            )
-    return jnp.tile(out, (1, 1, 1, n_seg))
-
-
-def _zseg_windows(x2: jnp.ndarray, z: int, ci: int, z_seg: int, halo: int) -> jnp.ndarray:
-    """(B,X,Y,Z*Ci) folded -> (B,X,Y, n_seg*(z_seg+2*halo)*Ci) overlapping
-    z-segment windows (zero-padded at z edges, matching SAME semantics).
-    halo == 0 is the identity (the folded layout already is segment-major)."""
-    if halo == 0:
-        return x2
-    b, xs, ys = x2.shape[:3]
-    x5 = x2.reshape(b, xs, ys, z, ci)
-    xp = jnp.pad(x5, ((0, 0), (0, 0), (0, 0), (halo, halo), (0, 0)))
-    zin = z_seg + 2 * halo
-    wins = [xp[:, :, :, s : s + zin] for s in range(0, z, z_seg)]
-    return jnp.concatenate(wins, axis=3).reshape(b, xs, ys, -1)
-
-
 class _ZFoldConv3(nn.Module):
     """nn.Conv-compatible 3x3x3 SAME conv as a z-folded banded 2D conv.
 
@@ -392,9 +347,12 @@ class _ZFoldConv3(nn.Module):
     checkpoints are unaffected; only the compute layout changes. The
     (B,X,Y,Z,C)->(B,X,Y,Z*C) reshape merges adjacent minor dims — free, no
     relayout — and the 2D conv contracts over 9*Z*Ci lanes at full MXU
-    depth instead of 4x-padded C=32 tiles. When z divides into segments
-    (``_pick_zseg``), the band runs as a grouped conv over halo'd z-segment
-    windows — same numerics, (z_seg+2)/3x instead of Z/3x redundant FLOPs.
+    depth instead of 4x-padded C=32 tiles. A segmented variant (grouped
+    conv over halo'd z-segment windows, (z_seg+2)/3x instead of Z/3x
+    redundant FLOPs) was measured SLOWER on v5e despite 2.7x fewer FLOPs
+    (TPU grouped convs run at ~1/3 the band's MXU rate and the window
+    materialization adds an HBM pass) — pruned 2026-08-19, see
+    docs/KERNEL_NOTES.md.
     """
 
     features: int
@@ -419,33 +377,14 @@ class _ZFoldConv3(nn.Module):
             (*self.kernel_size, ci, self.features),
             jnp.float32,
         )
-        z_seg = _pick_zseg(z)
-        if 0 in x2.shape:
-            # degenerate (zero-size) spatial dims: the windowed reshape below
-            # cannot represent them; the plain band path matches dense conv
-            # behavior (empty output) exactly
-            z_seg = 0
-        if z_seg:
-            halo = self.kernel_size[2] // 2
-            xw = _zseg_windows(x2, z, ci, z_seg, halo)
-            w2 = zfold_seg_weight(w.astype(self.dtype), z_seg, z // z_seg)
-            out = jax.lax.conv_general_dilated(
-                xw,
-                w2,
-                window_strides=(1, 1),
-                padding="SAME",
-                dimension_numbers=("NHWC", "HWIO", "NHWC"),
-                feature_group_count=z // z_seg,
-            )
-        else:
-            w2 = zfold_weight(w.astype(self.dtype), z)
-            out = jax.lax.conv_general_dilated(
-                x2,
-                w2,
-                window_strides=(1, 1),
-                padding="SAME",
-                dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            )
+        w2 = zfold_weight(w.astype(self.dtype), z)
+        out = jax.lax.conv_general_dilated(
+            x2,
+            w2,
+            window_strides=(1, 1),
+            padding="SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
         if folded_z is None:
             out = out.reshape(batch, xs, ys, z, self.features)
         if self.use_bias:

@@ -8,13 +8,15 @@ this is the TPU-native equivalent. Design choices for this model family
   panel for that head lives in VMEM (5.4k x 64 x f32 ~= 1.4MB), so the
   softmax is computed in ONE pass over a (block_q, Tk) score tile — no
   online-softmax running state, fewer VPU ops than a streaming kernel at
-  these lengths. For LONG keys (>=1536 padded: full-token encoder
-  self-attn at inference/fine-tune) a streaming online-softmax variant
-  with k-blocking exists behind CINEMA_TPU_FLASH_STREAM — the one-pass
-  score buffer would pin block_q to 128 there and re-read K/V panels
-  per 128 rows;
+  these lengths. A streaming (k-blocked online-softmax) variant for long
+  keys was built and measured SLOWER on v5e even at T=2305 (serving
+  40.1 vs 44.3 frames/s end-to-end) — the kernels are VPU-softmax bound,
+  and k-blocking adds accumulator-rescale VPU passes without reducing
+  softmax element count; pruned 2026-08-19, see docs/KERNEL_NOTES.md;
 - f32 score/probability accumulation regardless of input dtype (bf16-safe);
-- key-side padding masked with -inf via broadcasted iota;
+- key-side padding needs NO mask pass in the packed kernels: padded K rows
+  are exactly zero, so pad scores are exactly 0 and their softmax mass is
+  a closed-form (bq, 1) denominator correction (see _packed_fwd_kernel);
 - backward pass via jax.custom_vjp recomputing with XLA einsums — exact
   gradients, and XLA already fuses the backward well at these sizes.
 """
@@ -335,16 +337,23 @@ def _pick_head_groups(n_heads: int, head_dim: int, embed: int, n_k_pad: int) -> 
 
 
 def _packed_fwd_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, n_k: int, heads: int):
-    """One (batch, head-group, q-block) program over packed (T, E_g) panels."""
+    """One (batch, head-group, q-block) program over packed (T, E_g) panels.
+
+    Key-side padding needs NO (bq, tk) mask pass: padded K rows are exactly
+    zero, so every padding column's score is exactly 0 and its softmax mass
+    is exp2(-m) — subtracted from the denominator in closed form (a (bq, 1)
+    op instead of a full-width select; the padded V rows are zero so the
+    numerator is untouched). m = max(scores, 0) >= the true row max keeps
+    exp2 overflow-free; the only divergence from the masked softmax is the
+    pathological all-scores-below-2^-126 row, impossible for layernormed
+    activations.
+    """
     eg = q_ref.shape[-1]
     d = eg // heads
     k_all = k_ref[0]
     v_all = v_ref[0]
     q_all = q_ref[0]
-    tk_pad = k_all.shape[0]
-    col = None
-    if tk_pad != n_k:
-        col = jax.lax.broadcasted_iota(jnp.int32, (q_all.shape[0], tk_pad), dimension=1)
+    n_pad = k_all.shape[0] - n_k
     for h in range(heads):
         sl = slice(h * d, (h + 1) * d)
         qh = q_all[:, sl].astype(jnp.float32) * (scale * _LOG2E)
@@ -353,9 +362,8 @@ def _packed_fwd_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, n_k: int, he
         scores = jax.lax.dot_general(
             qh, kh, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )
-        if col is not None:
-            scores = jnp.where(col < n_k, scores, -jnp.inf)
-        probs = jnp.exp2(scores - jnp.max(scores, axis=-1, keepdims=True))
+        m = jnp.max(scores, axis=-1, keepdims=True)  # >= true max (pads are 0)
+        probs = jnp.exp2(scores - m)
         # denominator rides the PV matmul (ones column in MXU lane padding)
         v_aug = jnp.concatenate(
             [vh, jnp.ones((vh.shape[0], 1), jnp.float32)], axis=1
@@ -363,7 +371,10 @@ def _packed_fwd_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, n_k: int, he
         out_aug = jax.lax.dot_general(
             probs, v_aug, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
         )
-        out = out_aug[:, :d] / out_aug[:, d : d + 1]
+        denom = out_aug[:, d : d + 1]
+        if n_pad:
+            denom = denom - n_pad * jnp.exp2(-m)
+        out = out_aug[:, :d] / denom
         o_ref[0, :, sl] = out.astype(o_ref.dtype)
 
 
@@ -380,10 +391,11 @@ def _packed_bwd_kernel(
         dk_ref[0] = jnp.zeros_like(dk_ref[0])
         dv_ref[0] = jnp.zeros_like(dv_ref[0])
 
-    tk_pad = k_ref.shape[1]
-    col = None
-    if tk_pad != n_k:
-        col = jax.lax.broadcasted_iota(jnp.int32, (q_ref.shape[1], tk_pad), dimension=1)
+    # padding handled like the fwd kernel: pad scores are exactly 0, their
+    # mass is subtracted from the denominator in closed form. The resulting
+    # nonzero pad-column probs cannot leak into gradients: dq sums them
+    # against zero K rows, and the dk/dv pad rows are sliced off outside.
+    n_pad = k_ref.shape[1] - n_k
     for h in range(heads):
         sl = slice(h * d, (h + 1) * d)
         qh = q_ref[0, :, sl].astype(jnp.float32)
@@ -398,10 +410,12 @@ def _packed_bwd_kernel(
             (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-        if col is not None:
-            scores = jnp.where(col < n_k, scores, -jnp.inf)
-        exp = jnp.exp2(scores - jnp.max(scores, axis=-1, keepdims=True))
-        probs = exp / jnp.sum(exp, axis=-1, keepdims=True)
+        m = jnp.max(scores, axis=-1, keepdims=True)
+        exp = jnp.exp2(scores - m)
+        denom = jnp.sum(exp, axis=-1, keepdims=True)
+        if n_pad:
+            denom = denom - n_pad * jnp.exp2(-m)
+        probs = exp / denom
 
         # dprobs does not depend on the softmax recompute: MXU/VPU overlap
         # (the g_s = g/denom variant serialized them and lost 10-14%).
@@ -428,327 +442,6 @@ def _packed_bwd_kernel(
         ).astype(dv_ref.dtype)
 
 
-# Above this many (padded) keys the one-pass kernel's full-width score
-# buffer forces block_q down to 128 and every extra q-block re-reads the
-# whole K/V panel (serving/fine-tune encoder self-attn: T=2305 unmasked
-# tokens -> 19 q-blocks x 2432-key panels). The streaming kernel below
-# blocks K with an online softmax instead, keeping block_q large.
-_STREAM_MIN_TK = 1536
-_STREAM_BLOCK_Q = 512
-_STREAM_BLOCK_K = 512
-
-
-def _stream_enabled(n_k: int) -> bool:
-    """Static dispatch predicate shared by the primal, fwd and bwd rules."""
-    import os
-
-    return (
-        _round_up(n_k, 128) >= _STREAM_MIN_TK
-        and os.environ.get("CINEMA_TPU_FLASH_STREAM", "0") == "1"
-    )
-
-
-def _packed_stream_fwd_kernel(
-    q_ref, k_ref, v_ref, o_ref, *rest,
-    scale: float, n_k: int, heads: int, block_k: int, emit_stats: bool,
-):
-    """Online-softmax variant of ``_packed_fwd_kernel``: grid adds an
-    innermost k-block axis; running (max, denom, acc) live in VMEM scratch
-    and the output flushes on the last k-block. exp2 log2-domain softmax and
-    the denominator-on-the-PV-matmul ones-column trick carry over. With
-    ``emit_stats`` the log2-domain (rowmax, denominator) are emitted for the
-    streaming backward's tile-local probability recompute."""
-    if emit_stats:
-        m_out, l_out, m_scr, l_scr, acc_scr = rest
-    else:
-        m_scr, l_scr, acc_scr = rest
-    j = pl.program_id(3)
-    n_kb = pl.num_programs(3)
-    eg = q_ref.shape[-1]
-    d = eg // heads
-
-    @pl.when(j == 0)
-    def _init():
-        # large-finite (not -inf) init keeps alpha = exp2(m_prev - m_new)
-        # NaN-free on fully-masked rows
-        m_scr[...] = jnp.full(m_scr.shape, -1e30, m_scr.dtype)
-        l_scr[...] = jnp.zeros(l_scr.shape, l_scr.dtype)
-        acc_scr[...] = jnp.zeros(acc_scr.shape, acc_scr.dtype)
-
-    bq, bk = q_ref.shape[1], k_ref.shape[1]
-    col = jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1) + j * block_k
-    for h in range(heads):
-        sl = slice(h * d, (h + 1) * d)
-        qh = q_ref[0, :, sl].astype(jnp.float32) * (scale * _LOG2E)
-        kh = k_ref[0, :, sl].astype(jnp.float32)
-        vh = v_ref[0, :, sl].astype(jnp.float32)
-        s = jax.lax.dot_general(
-            qh, kh, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        )
-        s = jnp.where(col < n_k, s, -jnp.inf)
-        m_prev = m_scr[:, h : h + 1]
-        m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
-        alpha = jnp.exp2(m_prev - m_new)
-        p = jnp.exp2(s - m_new)
-        v_aug = jnp.concatenate([vh, jnp.ones((vh.shape[0], 1), jnp.float32)], axis=1)
-        pv = jax.lax.dot_general(
-            p, v_aug, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-        )
-        acc_scr[:, sl] = acc_scr[:, sl] * alpha + pv[:, :d]
-        l_scr[:, h : h + 1] = l_scr[:, h : h + 1] * alpha + pv[:, d : d + 1]
-        m_scr[:, h : h + 1] = m_new
-
-    @pl.when(j == n_kb - 1)
-    def _flush():
-        for h in range(heads):
-            sl = slice(h * d, (h + 1) * d)
-            o_ref[0, :, sl] = (acc_scr[:, sl] / l_scr[:, h : h + 1]).astype(o_ref.dtype)
-        if emit_stats:
-            m_out[0] = m_scr[...]
-            l_out[0] = l_scr[...]
-
-
-def _stream_blocks() -> tuple[int, int]:
-    """(block_q, block_k), overridable for on-device tuning sweeps."""
-    import os
-
-    return (
-        int(os.environ.get("CINEMA_TPU_STREAM_BLOCK_Q", _STREAM_BLOCK_Q)),
-        int(os.environ.get("CINEMA_TPU_STREAM_BLOCK_K", _STREAM_BLOCK_K)),
-    )
-
-
-def _stream_geometry(q, k, v, n_heads: int):
-    batch, n_q, embed = q.shape
-    n_k = k.shape[1]
-    head_dim = embed // n_heads
-    block_q, block_k = _stream_blocks()
-    n_k_pad = _round_up(n_k, block_k)
-    n_q_pad = _round_up(n_q, block_q)
-    groups = _pick_head_groups(n_heads, head_dim, embed, block_k)
-    if n_q_pad != n_q:
-        q = jnp.pad(q, ((0, 0), (0, n_q_pad - n_q), (0, 0)))
-    if n_k_pad != n_k:
-        k = jnp.pad(k, ((0, 0), (0, n_k_pad - n_k), (0, 0)))
-        v = jnp.pad(v, ((0, 0), (0, n_k_pad - n_k), (0, 0)))
-    return q, k, v, head_dim**-0.5, block_q, block_k, n_q_pad, n_k_pad, groups
-
-
-def _packed_stream_forward(q, k, v, n_heads: int, with_stats: bool = False):
-    batch, n_q, embed = q.shape
-    n_k = k.shape[1]
-    q, k, v, scale, block_q, block_k, n_q_pad, n_k_pad, groups = _stream_geometry(
-        q, k, v, n_heads
-    )
-    eg = embed // groups
-    heads_g = n_heads // groups
-
-    q_spec = pl.BlockSpec(
-        (1, block_q, eg), lambda b, g, i, j: (b, i, g), memory_space=pltpu.VMEM
-    )
-    k_spec = pl.BlockSpec(
-        (1, block_k, eg), lambda b, g, i, j: (b, j, g), memory_space=pltpu.VMEM
-    )
-    stat_spec = pl.BlockSpec(
-        (1, block_q, heads_g), lambda b, g, i, j: (b, i, g), memory_space=pltpu.VMEM
-    )
-    out_shape = jax.ShapeDtypeStruct((batch, n_q_pad, embed), q.dtype)
-    stat_shape = jax.ShapeDtypeStruct((batch, n_q_pad, n_heads), jnp.float32)
-    result = pl.pallas_call(
-        functools.partial(
-            _packed_stream_fwd_kernel,
-            scale=scale, n_k=n_k, heads=heads_g, block_k=block_k,
-            emit_stats=with_stats,
-        ),
-        out_shape=(out_shape, stat_shape, stat_shape) if with_stats else out_shape,
-        grid=(batch, groups, n_q_pad // block_q, n_k_pad // block_k),
-        in_specs=[q_spec, k_spec, k_spec],
-        out_specs=(q_spec, stat_spec, stat_spec) if with_stats else q_spec,
-        scratch_shapes=[
-            pltpu.VMEM((block_q, heads_g), jnp.float32),
-            pltpu.VMEM((block_q, heads_g), jnp.float32),
-            pltpu.VMEM((block_q, eg), jnp.float32),
-        ],
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=64 * 2**20,
-            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
-        ),
-        cost_estimate=pl.CostEstimate(
-            flops=4 * batch * n_q_pad * n_k_pad * embed,
-            bytes_accessed=(q.size + k.size + v.size) * q.dtype.itemsize,
-            transcendentals=batch * n_heads * n_q_pad * n_k_pad,
-        ),
-    )(q, k, v)
-    if with_stats:
-        out, m, l = result
-        return out[:, :n_q], m, l
-    return result[:, :n_q]
-
-
-def _stream_probs(q_ref, k_ref, m_ref, l_ref, h, d, scale, col, n_k):
-    """Tile-local softmax probabilities from the saved log2-domain stats."""
-    sl = slice(h * d, (h + 1) * d)
-    qh = q_ref[0, :, sl].astype(jnp.float32) * (scale * _LOG2E)
-    kh = k_ref[0, :, sl].astype(jnp.float32)
-    s = jax.lax.dot_general(
-        qh, kh, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    )
-    s = jnp.where(col < n_k, s, -jnp.inf)
-    p = jnp.exp2(s - m_ref[0, :, h : h + 1])
-    # guard l=0 (rows past n_q with no valid key mass) — their grads are
-    # sliced off, they just must not poison the tile with inf/NaN
-    return p / jnp.maximum(l_ref[0, :, h : h + 1], 1e-30), kh
-
-
-def _packed_stream_dq_kernel(
-    q_ref, k_ref, v_ref, g_ref, m_ref, l_ref, delta_ref, dq_ref, dq_scr,
-    *, scale: float, n_k: int, heads: int, block_k: int,
-):
-    """dq accumulated over the innermost k-block axis."""
-    j = pl.program_id(3)
-    n_kb = pl.num_programs(3)
-    eg = q_ref.shape[-1]
-    d = eg // heads
-
-    @pl.when(j == 0)
-    def _init():
-        dq_scr[...] = jnp.zeros(dq_scr.shape, dq_scr.dtype)
-
-    bq, bk = q_ref.shape[1], k_ref.shape[1]
-    col = jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1) + j * block_k
-    for h in range(heads):
-        sl = slice(h * d, (h + 1) * d)
-        probs, kh = _stream_probs(q_ref, k_ref, m_ref, l_ref, h, d, scale, col, n_k)
-        gh = g_ref[0, :, sl].astype(jnp.float32)
-        vh = v_ref[0, :, sl].astype(jnp.float32)
-        dprobs = jax.lax.dot_general(
-            gh, vh, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        )
-        dscores = probs * (dprobs - delta_ref[0, :, h : h + 1])
-        dq_scr[:, sl] += jax.lax.dot_general(
-            dscores, kh, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-        )
-
-    @pl.when(j == n_kb - 1)
-    def _flush():
-        dq_ref[0] = (dq_scr[...] * scale).astype(dq_ref.dtype)
-
-
-def _packed_stream_dkv_kernel(
-    q_ref, k_ref, v_ref, g_ref, m_ref, l_ref, delta_ref, dk_ref, dv_ref,
-    dk_scr, dv_scr,
-    *, scale: float, n_k: int, heads: int, block_k: int,
-):
-    """dk/dv accumulated over the innermost q-block axis (k-block outer)."""
-    i = pl.program_id(3)
-    n_qb = pl.num_programs(3)
-    jk = pl.program_id(2)
-    eg = q_ref.shape[-1]
-    d = eg // heads
-
-    @pl.when(i == 0)
-    def _init():
-        dk_scr[...] = jnp.zeros(dk_scr.shape, dk_scr.dtype)
-        dv_scr[...] = jnp.zeros(dv_scr.shape, dv_scr.dtype)
-
-    bq, bk = q_ref.shape[1], k_ref.shape[1]
-    col = jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1) + jk * block_k
-    for h in range(heads):
-        sl = slice(h * d, (h + 1) * d)
-        probs, _kh = _stream_probs(q_ref, k_ref, m_ref, l_ref, h, d, scale, col, n_k)
-        qh = q_ref[0, :, sl].astype(jnp.float32)
-        gh = g_ref[0, :, sl].astype(jnp.float32)
-        vh = v_ref[0, :, sl].astype(jnp.float32)
-        dv_scr[:, sl] += jax.lax.dot_general(
-            probs, gh, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
-        )
-        dprobs = jax.lax.dot_general(
-            gh, vh, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        )
-        dscores = probs * (dprobs - delta_ref[0, :, h : h + 1])
-        dk_scr[:, sl] += jax.lax.dot_general(
-            dscores, qh, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
-        )
-
-    @pl.when(i == n_qb - 1)
-    def _flush():
-        dk_ref[0] = (dk_scr[...] * scale).astype(dk_ref.dtype)
-        dv_ref[0] = dv_scr[...].astype(dv_ref.dtype)
-
-
-def _packed_stream_backward(q, k, v, g, out, stats, n_heads: int):
-    """Streaming bwd: two k/q-blocked kernels using the fwd's saved stats.
-
-    vs the one-pass bwd at long Tk (block_q pinned to 128 by the full-width
-    score buffers): K/V panels are re-read once per 512-row q-block instead
-    of per 128-row block, and dk/dv accumulate per k-block in VMEM."""
-    m, l = stats
-    batch, n_q, embed = q.shape
-    n_k = k.shape[1]
-    # delta = rowsum(g * out) per head — one cheap XLA pass, read by tiles
-    gh = g.astype(jnp.float32).reshape(batch, n_q, n_heads, -1)
-    oh = out.astype(jnp.float32).reshape(batch, n_q, n_heads, -1)
-    delta = jnp.sum(gh * oh, axis=-1)  # (batch, n_q, n_heads)
-
-    qp, kp, vp, scale, block_q, block_k, n_q_pad, n_k_pad, groups = _stream_geometry(
-        q, k, v, n_heads
-    )
-    eg = embed // groups
-    heads_g = n_heads // groups
-    if n_q_pad != n_q:
-        g = jnp.pad(g, ((0, 0), (0, n_q_pad - n_q), (0, 0)))
-        delta = jnp.pad(delta, ((0, 0), (0, n_q_pad - n_q), (0, 0)))
-    # m, l are already (batch, n_q_pad, n_heads) from the fwd
-
-    common = dict(scale=scale, n_k=n_k, heads=heads_g, block_k=block_k)
-    params = dict(
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=64 * 2**20,
-            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
-        ),
-        cost_estimate=pl.CostEstimate(
-            flops=10 * batch * n_q_pad * n_k_pad * embed,
-            bytes_accessed=2 * (q.size + k.size + v.size) * 4,
-            transcendentals=batch * n_heads * n_q_pad * n_k_pad,
-        ),
-    )
-
-    # dq: (b, g, iq, jk) with k innermost
-    q_spec = pl.BlockSpec((1, block_q, eg), lambda b, g_, i, j: (b, i, g_), memory_space=pltpu.VMEM)
-    k_spec = pl.BlockSpec((1, block_k, eg), lambda b, g_, i, j: (b, j, g_), memory_space=pltpu.VMEM)
-    s_spec = pl.BlockSpec((1, block_q, heads_g), lambda b, g_, i, j: (b, i, g_), memory_space=pltpu.VMEM)
-    dq = pl.pallas_call(
-        functools.partial(_packed_stream_dq_kernel, **common),
-        out_shape=jax.ShapeDtypeStruct((batch, n_q_pad, embed), q.dtype),
-        grid=(batch, groups, n_q_pad // block_q, n_k_pad // block_k),
-        in_specs=[q_spec, k_spec, k_spec, q_spec, s_spec, s_spec, s_spec],
-        out_specs=q_spec,
-        scratch_shapes=[pltpu.VMEM((block_q, eg), jnp.float32)],
-        **params,
-    )(qp, kp, vp, g, m, l, delta)
-
-    # dk/dv: (b, g, jk, iq) with q innermost
-    q_spec2 = pl.BlockSpec((1, block_q, eg), lambda b, g_, j, i: (b, i, g_), memory_space=pltpu.VMEM)
-    k_spec2 = pl.BlockSpec((1, block_k, eg), lambda b, g_, j, i: (b, j, g_), memory_space=pltpu.VMEM)
-    s_spec2 = pl.BlockSpec((1, block_q, heads_g), lambda b, g_, j, i: (b, i, g_), memory_space=pltpu.VMEM)
-    dk, dv = pl.pallas_call(
-        functools.partial(_packed_stream_dkv_kernel, **common),
-        out_shape=(
-            jax.ShapeDtypeStruct((batch, n_k_pad, embed), jnp.float32),
-            jax.ShapeDtypeStruct((batch, n_k_pad, embed), jnp.float32),
-        ),
-        grid=(batch, groups, n_k_pad // block_k, n_q_pad // block_q),
-        in_specs=[q_spec2, k_spec2, k_spec2, q_spec2, s_spec2, s_spec2, s_spec2],
-        out_specs=(k_spec2, k_spec2),
-        scratch_shapes=[
-            pltpu.VMEM((block_k, eg), jnp.float32),
-            pltpu.VMEM((block_k, eg), jnp.float32),
-        ],
-        **params,
-    )(qp, kp, vp, g, m, l, delta)
-    return dq[:, :n_q], dk[:, :n_k].astype(k.dtype), dv[:, :n_k].astype(v.dtype)
-
-
 def _packed_specs(block_q: int, n_k_pad: int, eg: int):
     q_spec = pl.BlockSpec((1, block_q, eg), lambda b, j, i: (b, i, j), memory_space=pltpu.VMEM)
     k_spec = pl.BlockSpec((1, n_k_pad, eg), lambda b, j, i: (b, 0, j), memory_space=pltpu.VMEM)
@@ -761,13 +454,18 @@ def _packed_forward(q, k, v, n_heads: int, block_q: int):
     head_dim = embed // n_heads
     scale = head_dim**-0.5
     n_k_pad = _round_up(n_k, 128)
-    if _stream_enabled(n_k):
-        return _packed_stream_forward(q, k, v, n_heads)
     groups = _pick_head_groups(n_heads, head_dim, embed, n_k_pad)
     eg = embed // groups
-    # 7MB score budget: block 512 at the decoder shape overflowed the 16MB
-    # scoped-vmem limit by 0.6MB inside the full model
-    block_q = _auto_block_q_fwd(n_q, n_k_pad, block_q, 7 * 2**20)
+    # 15MB score budget (v5e-swept 2026-08-19: 15MB beats 7/22/30MB at all
+    # three model shapes — serving enc block 128->256 cuts K/V panel
+    # re-reads 2x for -4%, pretrain enc 384->512). The old 7MB cap dated
+    # from the masked kernel whose live where/select buffers overflowed
+    # scoped VMEM at block 512; the maskless kernel keeps 2 live
+    # (block_q, n_k) buffers, not 3.
+    import os
+
+    budget = int(os.environ.get("CINEMA_TPU_PACKED_FWD_BUDGET", 15 * 2**20))
+    block_q = _auto_block_q_fwd(n_q, n_k_pad, block_q, budget)
     n_q_pad = _round_up(n_q, block_q)
 
     if n_q_pad != n_q:
@@ -820,18 +518,13 @@ def flash_attention_packed(
 
 
 def _packed_fwd_rule(q, k, v, n_heads, block_q):
-    if _stream_enabled(k.shape[1]):
-        out, m, l = _packed_stream_forward(q, k, v, n_heads, with_stats=True)
-        return out, (q, k, v, out, (m, l))
     out = _packed_forward(q, k, v, n_heads, block_q)
-    return out, (q, k, v, out, None)
+    return out, (q, k, v, out)
 
 
 def _packed_bwd_rule(n_heads, block_q, residuals, g):
     del block_q
-    q, k, v, out, stats = residuals
-    if stats is not None:
-        return _packed_stream_backward(q, k, v, g, out, stats, n_heads)
+    q, k, v, out = residuals
     batch, n_q, embed = q.shape
     n_k = k.shape[1]
     head_dim = embed // n_heads

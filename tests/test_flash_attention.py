@@ -161,19 +161,14 @@ def test_attention_module_packed_path_matches_xla():
         np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=3e-5)
 
 
-class TestStreamingPackedFlash:
-    """Long-Tk packed attention (n_k_pad >= _STREAM_MIN_TK) dispatches to the
-    online-softmax streaming kernel: k is blocked with running (max, denom,
-    acc) scratch instead of a full-width score buffer (one-pass block_q would
-    collapse to 128 and re-read the K/V panel per q-block)."""
+class TestLongTkPackedFlash:
+    """Long-Tk packed attention (the serving/fine-tune encoder regime,
+    T>=1536 padded) runs the same one-pass kernel: a streaming online-softmax
+    variant was measured SLOWER on v5e (VPU-softmax bound; pruned 2026-08-19,
+    docs/KERNEL_NOTES.md). These shapes keep the long-Tk path covered."""
 
-    @pytest.mark.parametrize("bq,bk", [(512, 512), (256, 640)])
-    def test_streaming_forward_matches(self, bq, bk, monkeypatch):
+    def test_long_tk_forward_matches(self):
         from cinema_tpu.ops.pallas import flash_attention as fa
-
-        monkeypatch.setenv("CINEMA_TPU_FLASH_STREAM", "1")
-        monkeypatch.setenv("CINEMA_TPU_STREAM_BLOCK_Q", str(bq))
-        monkeypatch.setenv("CINEMA_TPU_STREAM_BLOCK_K", str(bk))
 
         rng = np.random.default_rng(0)
         b, n_q, n_k, h, d = 1, 520, 1600, 4, 32
@@ -181,20 +176,14 @@ class TestStreamingPackedFlash:
         q = jnp.asarray(rng.normal(size=(b, n_q, e)).astype(np.float32))
         k = jnp.asarray(rng.normal(size=(b, n_k, e)).astype(np.float32))
         v = jnp.asarray(rng.normal(size=(b, n_k, e)).astype(np.float32))
-        assert fa._round_up(n_k, 128) >= fa._STREAM_MIN_TK  # dispatch guard
         got = fa.flash_attention_packed(q, k, v, h)
         want = _reference_attention(
             q.reshape(b, n_q, h, d), k.reshape(b, n_k, h, d), v.reshape(b, n_k, h, d)
         ).reshape(b, n_q, e)
         np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
 
-    @pytest.mark.parametrize("bq,bk", [(512, 512), (256, 640)])
-    def test_streaming_gradients_match(self, bq, bk, monkeypatch):
+    def test_long_tk_gradients_match(self):
         from cinema_tpu.ops.pallas.flash_attention import flash_attention_packed
-
-        monkeypatch.setenv("CINEMA_TPU_FLASH_STREAM", "1")
-        monkeypatch.setenv("CINEMA_TPU_STREAM_BLOCK_Q", str(bq))
-        monkeypatch.setenv("CINEMA_TPU_STREAM_BLOCK_K", str(bk))
 
         rng = np.random.default_rng(1)
         b, n_q, n_k, h, d = 1, 96, 1550, 2, 32

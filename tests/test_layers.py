@@ -201,9 +201,10 @@ def test_dense_param_naming():
 
 
 @pytest.mark.parametrize("z,kernel", [(8, 3), (16, 3), (8, 1)])
-def test_zfold_segmented_matches_dense(z, kernel, monkeypatch):
-    """The segmented z-fold (grouped conv over halo'd z-segment windows)
-    must match both the full-Z band and the dense conv, values and grads."""
+def test_zfold_band_matches_dense(z, kernel, monkeypatch):
+    """The full-Z banded fold must match the dense 3D conv, values and
+    grads. (A segmented variant was pruned 2026-08-19 after losing its
+    on-device A/B — docs/KERNEL_NOTES.md.)"""
     from cinema_tpu.models.layers import Conv
 
     c = 32
@@ -221,17 +222,12 @@ def test_zfold_segmented_matches_dense(z, kernel, monkeypatch):
     dense_g = jax.grad(loss)(params, x)
 
     monkeypatch.setenv("CINEMA_TPU_ZFOLD", "1")
-    monkeypatch.setenv("CINEMA_TPU_ZFOLD_SEG", "4")
-    seg_out = conv.apply(params, x)
-    seg_g = jax.grad(loss)(params, x)
+    band_out = conv.apply(params, x)
+    band_g = jax.grad(loss)(params, x)
 
-    np.testing.assert_allclose(np.asarray(seg_out), np.asarray(dense_out), rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(band_out), np.asarray(dense_out), rtol=1e-4, atol=1e-4)
     jax.tree_util.tree_map(
         lambda a, b: np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-3),
-        seg_g,
+        band_g,
         dense_g,
     )
-
-    monkeypatch.setenv("CINEMA_TPU_ZFOLD_SEG", "0")
-    band_out = conv.apply(params, x)
-    np.testing.assert_allclose(np.asarray(seg_out), np.asarray(band_out), rtol=1e-4, atol=1e-4)

@@ -87,6 +87,7 @@ def build_optimizer(
     n_blocks: int = 0,
     freeze_mask: Optional[Any] = None,
     accum_steps: int = 1,
+    fused: bool = False,
 ) -> optax.GradientTransformation:
     """AdamW with warmup-cosine LR, optional layer decay / freezing / accumulation.
 
@@ -104,6 +105,10 @@ def build_optimizer(
         n_blocks: encoder depth for layer ids.
         freeze_mask: boolean tree, True = frozen (updates zeroed).
         accum_steps: gradient accumulation via optax.MultiSteps.
+        fused: return the single-pass :mod:`cinema_tpu.train.fused_optim`
+            AdamW (same semantics + in-update NaN guard, ~10 ms/step less
+            state traffic on ViT-base) when no accumulation wrapper is
+            needed. The train steps accept either form.
     """
     # PyYAML parses '1e-3' (no decimal point) as a string; coerce defensively
     lr, min_lr = float(lr), float(min_lr)
@@ -116,6 +121,28 @@ def build_optimizer(
     betas = (float(betas[0]), float(betas[1]))
 
     wd_mask = jax.tree_util.tree_map(lambda p: p.ndim > 1, params)
+    if fused and accum_steps == 1:
+        from cinema_tpu.train.fused_optim import fused_adamw
+
+        scale_tree = None
+        if layer_decay is not None:
+            scale_tree = layer_decay_scales(params, layer_decay, n_blocks)
+        if freeze_mask is not None:
+            fz = jax.tree_util.tree_map(lambda f: 0.0 if f else 1.0, freeze_mask)
+            scale_tree = (
+                fz
+                if scale_tree is None
+                else jax.tree_util.tree_map(lambda a, b: a * b, scale_tree, fz)
+            )
+        return fused_adamw(
+            schedule=warmup_cosine_schedule(lr, min_lr, warmup_steps, max_n_steps),
+            b1=betas[0],
+            b2=betas[1],
+            weight_decay=weight_decay,
+            wd_mask=wd_mask,
+            clip_grad=clip_grad,
+            scale_tree=scale_tree,
+        )
     chain = []
     if clip_grad is not None and clip_grad > 0:
         chain.append(optax.clip_by_global_norm(clip_grad))
@@ -149,7 +176,12 @@ def get_n_accum_steps(batch_size: int, batch_size_per_device: int, world_size: i
 
 
 class EarlyStopping:
-    """Early stopping on a minimised metric (reference optim.py:297-330)."""
+    """Early stopping on a minimised metric (reference optim.py:297-330).
+
+    Unlike the reference, the state round-trips through
+    :meth:`state_dict`/:meth:`load_state_dict` so a resumed fine-tune keeps
+    its best metric and patience — a fresh instance would re-save on its
+    first eval even when worse than the interrupted run's best."""
 
     def __init__(self, min_delta: float, patience: int) -> None:
         self.min_delta = min_delta
@@ -167,6 +199,17 @@ class EarlyStopping:
         else:
             self.patience_count += 1
             self.should_stop = self.patience_count >= self.patience
+
+    def state_dict(self) -> dict:
+        return {
+            "best_metric": self.best_metric,
+            "patience_count": self.patience_count,
+        }
+
+    def load_state_dict(self, state: dict) -> None:
+        self.best_metric = float(state.get("best_metric", float("inf")))
+        self.patience_count = int(state.get("patience_count", 0))
+        self.should_stop = self.patience_count >= self.patience
 
 
 class CosineScheduler:

@@ -125,20 +125,29 @@ def make_mae_train_step(
             return loss, metrics
 
         (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
-        updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
-        new_params = optax.apply_updates(state.params, updates)
-
-        # NaN-loss skip (reference train.py:138-140): keep old state
         ok = jnp.isfinite(loss)
-        new_params = jax.tree_util.tree_map(
-            lambda new, old: jnp.where(ok, new, old), new_params, state.params
-        )
-        new_opt_state = jax.tree_util.tree_map(
-            lambda new, old: jnp.where(ok, new, old), new_opt_state, state.opt_state
-        )
-        batch_size = next(iter(batch.values())).shape[0]
         metrics = dict(metrics)
-        metrics["grad_norm"] = optax.global_norm(grads)
+        if hasattr(tx, "update_with_guard"):
+            # fused AdamW: clip + moments + decay + NaN guard in one pass
+            # per leaf (train/fused_optim.py) — no tree-wide selects, no
+            # second global-norm pass for the metric
+            new_params, new_opt_state, gnorm = tx.update_with_guard(
+                grads, state.opt_state, state.params, ok
+            )
+            metrics["grad_norm"] = gnorm
+        else:
+            updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
+            new_params = optax.apply_updates(state.params, updates)
+
+            # NaN-loss skip (reference train.py:138-140): keep old state
+            new_params = jax.tree_util.tree_map(
+                lambda new, old: jnp.where(ok, new, old), new_params, state.params
+            )
+            new_opt_state = jax.tree_util.tree_map(
+                lambda new, old: jnp.where(ok, new, old), new_opt_state, state.opt_state
+            )
+            metrics["grad_norm"] = optax.global_norm(grads)
+        batch_size = next(iter(batch.values())).shape[0]
         metrics["skipped_nan"] = (~ok).astype(jnp.float32)
         new_state = state.replace(
             step=state.step + 1,
@@ -187,20 +196,34 @@ def make_supervised_train_step(
         (loss, (metrics, model_state)), grads = jax.value_and_grad(wrapped, has_aux=True)(
             state.params
         )
-        updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
-        new_params = optax.apply_updates(state.params, updates)
-        if model_state:
-            new_params = {**new_params, **model_state}
         ok = jnp.isfinite(loss)
-        new_params = jax.tree_util.tree_map(
-            lambda new, old: jnp.where(ok, new, old), new_params, state.params
-        )
-        new_opt_state = jax.tree_util.tree_map(
-            lambda new, old: jnp.where(ok, new, old), new_opt_state, state.opt_state
-        )
-        first = next(iter(batch.values()))
         metrics = dict(metrics)
-        metrics["grad_norm"] = optax.global_norm(grads)
+        if hasattr(tx, "update_with_guard"):
+            new_params, new_opt_state, gnorm = tx.update_with_guard(
+                grads, state.opt_state, state.params, ok
+            )
+            metrics["grad_norm"] = gnorm
+            if model_state:
+                # non-param collections (BatchNorm stats) also revert on a
+                # guarded step, matching the generic path's tree-wide select
+                old = {k: state.params[k] for k in model_state}
+                reverted = jax.tree_util.tree_map(
+                    lambda new, o: jnp.where(ok, new, o), dict(model_state), old
+                )
+                new_params = {**new_params, **reverted}
+        else:
+            updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
+            new_params = optax.apply_updates(state.params, updates)
+            if model_state:
+                new_params = {**new_params, **model_state}
+            new_params = jax.tree_util.tree_map(
+                lambda new, old: jnp.where(ok, new, old), new_params, state.params
+            )
+            new_opt_state = jax.tree_util.tree_map(
+                lambda new, old: jnp.where(ok, new, old), new_opt_state, state.opt_state
+            )
+            metrics["grad_norm"] = optax.global_norm(grads)
+        first = next(iter(batch.values()))
         metrics["skipped_nan"] = (~ok).astype(jnp.float32)
         new_state = state.replace(
             step=state.step + 1,

@@ -88,6 +88,7 @@ def bench_pretrain(profile_dir=None) -> float:
         max_n_steps=800,
         weight_decay=0.05,
         clip_grad=5.0,
+        fused=True,
     )
     state, _ = make_train_state(init_fn, tx)
     step = make_mae_train_step(model, tx, 0.75, donate=True)
@@ -95,10 +96,16 @@ def bench_pretrain(profile_dir=None) -> float:
     key = jax.random.PRNGKey(0)
     flops_per_step = 0.0
     compile_s = 0.0
+    compile_s_warm = 0.0
     try:
         t0 = time.perf_counter()
         compiled = step.lower(state, batch, key).compile()
         compile_s = time.perf_counter() - t0
+        # warm: retrace + compile again — the persistent cache (enabled in
+        # main()) serves the executable from disk instead of recompiling
+        t0 = time.perf_counter()
+        step.lower(state, batch, key).compile()
+        compile_s_warm = time.perf_counter() - t0
         flops_per_step = _flops_of(compiled)
         if profile_dir:
             # TPU-compiled HLO: tools/profile_breakdown.py joins its
@@ -139,6 +146,7 @@ def bench_pretrain(profile_dir=None) -> float:
         "achieved_tflops": round(tflops, 1),
         "mfu": round(mfu, 4),
         "compile_s": round(compile_s, 1),
+        "compile_s_warm": round(compile_s_warm, 1),
     }
 
 
@@ -190,49 +198,25 @@ def bench_seg_latency() -> dict:
     }
 
 
-# serving lever configs for the in-bench A/B (see README "Serving
-# decomposition"): segmented z-fold convs and streaming flash attention are
-# numerics-proven equal to the defaults (tests/test_layers.py,
-# tests/test_flash_attention.py); which is FASTER is hardware-dependent, so
-# the bench times each and keeps the best. Env vars are read at trace time —
-# a fresh jit per config re-reads them.
-_SERVING_CONFIGS = (
-    ("base", {"CINEMA_TPU_ZFOLD_SEG": "0", "CINEMA_TPU_FLASH_STREAM": "0"}),
-    ("zseg4", {"CINEMA_TPU_ZFOLD_SEG": "4", "CINEMA_TPU_FLASH_STREAM": "0"}),
-    ("stream", {"CINEMA_TPU_ZFOLD_SEG": "0", "CINEMA_TPU_FLASH_STREAM": "1"}),
-    ("zseg4+stream", {"CINEMA_TPU_ZFOLD_SEG": "4", "CINEMA_TPU_FLASH_STREAM": "1"}),
-)
-
-
 def bench_serving() -> dict:
     """50-frame cine segmentation, frames chunked to bound activation memory.
 
-    chunk=8: bf16 tiles have 16 sublanes and the decoder's finest tensors
-    put batch in sublanes — chunk 10 pads to 16 (measured 23.6 frames/s)
-    while 8 (and 16) reach ~31 frames/s on v5e. The tail chunk reuses the
-    same compiled shape by padding to 8.
-
-    Self-tuning: unless the lever env vars are pinned by the caller, every
-    ``_SERVING_CONFIGS`` variant is compiled + timed and the fastest wins;
-    the winning env stays set so downstream benches inherit it."""
-    import os
-
+    Self-tuning over the frame-chunk size: bf16 tiles have 16 sublanes and
+    the decoder's finest tensors put batch in sublanes — chunk 10 pads to 16
+    (measured 23.6 frames/s round 2) while 8 and 16 tile exactly; which of
+    those wins is hardware-dependent, so both are timed and the best is
+    reported. (The round-3 gated levers — segmented z-fold, streaming flash
+    — lost their on-device A/B and were pruned 2026-08-19; the adjudication
+    log is in docs/KERNEL_NOTES.md.)"""
     from cinema_tpu.inference import video_forward
 
     config, model, params = _build_convunetr(jnp.bfloat16)
-    chunk = 8
     video = jnp.asarray(
         np.random.default_rng(0).random((50, 192, 192, 16, 1), dtype=np.float32)
     )
 
-    pinned = "CINEMA_TPU_ZFOLD_SEG" in os.environ or "CINEMA_TPU_FLASH_STREAM" in os.environ
-    configs = (("pinned", {}),) if pinned else _SERVING_CONFIGS
-
-    def time_config(env) -> float:
-        if not pinned:
-            os.environ.update(env)
-
-        def run(p, v):  # fresh function per config: env is read at trace time
+    def time_chunk(chunk: int) -> float:
+        def run(p, v):
             return video_forward(
                 lambda frames: model.apply(
                     p, {"sax": frames}, method=model.predict_labels
@@ -251,28 +235,135 @@ def bench_serving() -> dict:
         return sorted(times)[len(times) // 2]
 
     timings = {}
-    for name, env in configs:
+    for chunk in (8, 16):
         try:
-            timings[name] = time_config(env)
-        except Exception:  # a lever variant must never sink the benchmark
+            timings[chunk] = time_chunk(chunk)
+        except Exception:  # a variant must never sink the benchmark
             continue
     best = min(timings, key=timings.get)
-    if not pinned:  # downstream benches (seg latency) inherit the winner
-        os.environ.update(dict(configs)[best])
     dt = timings[best]
     return {
         "metric": "seg_serving_throughput",
         "value": round(50 / dt, 1),
         "unit": "frames/sec/chip (50-frame cine, 192x192x16)",
         "p50_ms_per_study": round(dt * 1000, 1),
-        "config": best,
-        "config_frames_per_sec": {k: round(50 / v, 1) for k, v in timings.items()},
+        "config": f"chunk{best}",
+        "config_frames_per_sec": {f"chunk{k}": round(50 / v, 1) for k, v in timings.items()},
     }
+
+
+def bench_input_pipeline(step_clips_per_sec: float) -> dict:
+    """Host input-pipeline headroom at the pretrain shape.
+
+    Builds a synthetic UKB-like study set (full-geometry 4-view 50-frame
+    uint8 NIfTI gz; one real study + symlinked clones, cached in /tmp),
+    then measures the real loader (UKBCineDataset frame-seek reads +
+    pretrain RandZoom/ScaleIntensity/Pad transforms, BatchLoader batch 16,
+    8 workers). Reports throughput as a multiple of the measured train-step
+    rate — the loader must stay >= 1x to keep the chip busy (reference
+    analog: torch DataLoader num_workers, mae/pretrain.py:331-338).
+    """
+    import os
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    from cinema_tpu.config import load_config
+    from cinema_tpu.data.datasets import BatchLoader, UKBCineDataset
+    from cinema_tpu.data.nifti import save_nifti
+    from cinema_tpu.data.transforms import get_pretrain_transforms
+
+    n_studies = 16
+    views = {"sax": (192, 192, 16, 50), "lax_2c": (256, 256, 1, 50),
+             "lax_3c": (256, 256, 1, 50), "lax_4c": (256, 256, 1, 50)}
+    base = Path(tempfile.gettempdir()) / "cinema_loader_bench"
+    src = base / "study00"
+    if not all((src / f"study00_{v}_t.nii.gz").exists() for v in views):
+        shutil.rmtree(base, ignore_errors=True)
+        src.mkdir(parents=True)
+        rng = np.random.default_rng(0)
+        for v, shape in views.items():
+            # smooth field + noise: gz ratio ~2x, like clipped uint8 MRI
+            low = rng.integers(0, 200, size=(16, 16, shape[2], shape[3]))
+            up = (shape[0] + 15) // 16
+            data = np.kron(low, np.ones((up, up, 1, 1)))[: shape[0], : shape[1]]
+            data = (data + rng.integers(0, 40, size=shape)).astype(np.uint8)
+            save_nifti(src / f"study00_{v}_t.nii.gz", data, spacing=(1, 1, 10, 1))
+    pids = ["study00"]
+    for i in range(1, n_studies):
+        pid = f"study{i:02d}"
+        d = base / pid
+        if not d.exists():
+            d.mkdir()
+            for v in views:
+                (d / f"{pid}_{v}_t.nii.gz").symlink_to(src / f"study00_{v}_t.nii.gz")
+        pids.append(pid)
+
+    config = load_config(Path(__file__).parent / "cinema_tpu" / "configs" / "mae.yaml")
+    transform = get_pretrain_transforms(config)
+    dataset = UKBCineDataset(base, pids, transform=transform, seed=0)
+
+    # per-item decomposition (single worker): frame-seek read vs transform
+    raw_ds = UKBCineDataset(base, pids, transform=None, seed=0)
+    t0 = time.perf_counter()
+    for i in range(6):
+        raw_ds[i]
+    read_s = (time.perf_counter() - t0) / 6
+    t0 = time.perf_counter()
+    for i in range(6):
+        dataset[i]
+    item_s = (time.perf_counter() - t0) / 6
+
+    n_workers = min(8, os.cpu_count() or 1)
+
+    def measure(use_processes: bool) -> float:
+        loader = BatchLoader(
+            dataset, batch_size=BATCH, shuffle=True, drop_last=True,
+            n_workers=n_workers, seed=0, use_processes=use_processes,
+        )
+        for _ in iter(loader):  # warm (open files, spawn pool)
+            pass
+        n_epochs, n_items = 4, 0
+        t0 = time.perf_counter()
+        for _ in range(n_epochs):
+            for batch in iter(loader):
+                n_items += batch["sax"].shape[0]
+        return n_items / (time.perf_counter() - t0)
+
+    threads = measure(use_processes=False)
+    result = {
+        "metric": "input_pipeline_throughput",
+        "value": round(threads, 1),
+        "unit": f"studies/sec/host (4-view frame-seek + augmentation, {n_workers} workers, {os.cpu_count()} cores)",
+        "vs_step_rate": round(threads / step_clips_per_sec, 2) if step_clips_per_sec else None,
+        "mode": "threads",
+        "ms_per_item_read": round(read_s * 1000, 1),
+        "ms_per_item_transform": round((item_s - read_s) * 1000, 1),
+        # zlib inflate is the bound and scales with worker cores (process
+        # workers, tasks/pretrain.py defaults them on for multi-core hosts):
+        # cores needed to match the chip's step rate
+        "cores_for_step_rate": round(step_clips_per_sec * item_s, 1) if step_clips_per_sec else None,
+    }
+    if step_clips_per_sec and threads < 2 * step_clips_per_sec and (os.cpu_count() or 1) > 2:
+        try:
+            procs = measure(use_processes=True)
+            result["processes_studies_per_sec"] = round(procs, 1)
+            if procs > threads:
+                result["value"] = round(procs, 1)
+                result["mode"] = "processes"
+                result["vs_step_rate"] = round(procs / step_clips_per_sec, 2)
+        except Exception as e:  # spawn pools can be env-fragile
+            result["processes_error"] = str(e)[:120]
+    return result
 
 
 def main() -> None:
     import os
     import sys
+
+    from cinema_tpu.compile_cache import enable_persistent_cache
+
+    enable_persistent_cache()
 
     profile_dir = None
     if "--profile" in sys.argv:
@@ -280,8 +371,6 @@ def main() -> None:
 
     results = []
     if "--pretrain-only" not in sys.argv:
-        # serving first: its lever autotune leaves the winning env config
-        # set, and the sliding-window latency bench inherits it
         try:
             results.append(bench_serving())
         except Exception as e:  # secondary metrics must not break the driver line
@@ -290,9 +379,16 @@ def main() -> None:
             results.append(bench_seg_latency())
         except Exception as e:
             print(json.dumps({"metric": "seg_sliding_window_latency", "error": str(e)[:200]}))
+    pretrain = bench_pretrain(profile_dir)
+    if "--pretrain-only" not in sys.argv:
+        try:
+            results.append(bench_input_pipeline(pretrain["value"]))
+        except Exception as e:
+            print(json.dumps({"metric": "input_pipeline_throughput", "error": str(e)[:200]}))
     for r in results:
         print(json.dumps(r), flush=True)
-    print(json.dumps(bench_pretrain(profile_dir)), flush=True)
+    # the driver parses the LAST line: keep the primary metric there
+    print(json.dumps(pretrain), flush=True)
 
 
 if __name__ == "__main__":

@@ -45,10 +45,26 @@ logger = get_logger(__name__)
 DEFAULT_CONFIG = Path(__file__).parents[1] / "configs" / "mae.yaml"
 
 
-def scan_manifest(data_dir: Path, views: List[str]) -> List[str]:
-    """Find study dirs containing all views' 4D NIfTIs
-    (reference pretrain.py:49-85 manifest scan)."""
+def scan_manifest(data_dir: Path, views: List[str], rescan: bool = False) -> List[str]:
+    """Find study dirs containing all views' 4D NIfTIs, with a JSON cache
+    (reference pretrain.py:49-85 caches its 70k-study scan to
+    manifest_paths.json; rescanning the tree per launch is minutes at UKB
+    scale). The cache keys on the view set; a stale first entry (moved
+    data) triggers a rescan like the reference's existence check."""
+    import json
+
     from cinema_tpu.data.datasets import find_view_file
+
+    cache_path = data_dir / f"manifest_pids_{'_'.join(sorted(views))}.json"
+    if not rescan and cache_path.exists():
+        try:
+            pids = json.load(open(cache_path, encoding="utf-8"))
+        except (json.JSONDecodeError, OSError):
+            pids = None
+        if pids and find_view_file(data_dir / pids[0], pids[0], views[0]) is not None:
+            logger.info(f"Loaded {len(pids)} studies from cache {cache_path}.")
+            return pids
+        logger.warning(f"Manifest cache {cache_path} is stale, rescanning.")
 
     pids = []
     for pid_dir in sorted(data_dir.iterdir()):
@@ -57,16 +73,25 @@ def scan_manifest(data_dir: Path, views: List[str]) -> List[str]:
         pid = pid_dir.name
         if all(find_view_file(pid_dir, pid, v) is not None for v in views):
             pids.append(pid)
+    if pids:
+        try:
+            with open(cache_path, "w", encoding="utf-8") as f:
+                json.dump(pids, f)
+        except OSError:  # read-only data dir: scanning still works
+            logger.warning(f"Could not write manifest cache {cache_path}.")
     return pids
 
 
 def run(config: Config) -> None:
+    from cinema_tpu.compile_cache import enable_persistent_cache
+
+    enable_persistent_cache()
     # multi-host: one process per host joins the SPMD program (replaces the
     # reference's mp.spawn + DDP rendezvous, pretrain.py:434-448)
     maybe_initialize_distributed(bool(config.get("mesh", {}).get("multiprocess", False)))
     views = list(config.model.views)
     data_dir = Path(config.data.dir).expanduser()
-    pids = scan_manifest(data_dir, views)
+    pids = scan_manifest(data_dir, views, rescan=bool(config.data.get("rescan", False)))
     if config.data.max_n_samples > 0:
         pids = pids[: config.data.max_n_samples]
     if not pids:
@@ -87,6 +112,16 @@ def run(config: Config) -> None:
 
     transform = get_pretrain_transforms(config)
     dataset = UKBCineDataset(data_dir, pids, views=views, transform=transform, seed=config.seed)
+    # zlib frame-seek inflate + scipy zoom are CPU-bound and partly
+    # GIL-bound: on a many-core TPU host, process workers are the only way
+    # the loader can match the step rate (~0.2-0.6 s/item single-core,
+    # measured by bench.py input_pipeline_throughput). Thread workers stay
+    # the default only on small boxes (tests, 1-core sandboxes).
+    import os as _os
+
+    use_processes = config.train.get("use_process_workers")
+    if use_processes is None:
+        use_processes = (_os.cpu_count() or 1) > 4
     loader = BatchLoader(
         dataset,
         batch_size=local_batch,
@@ -94,7 +129,7 @@ def run(config: Config) -> None:
         drop_last=True,
         n_workers=config.train.get("n_workers_per_device", 8),
         seed=config.seed,
-        use_processes=bool(config.train.get("use_process_workers", False)),
+        use_processes=bool(use_processes),
     )
     steps_per_epoch = max(len(loader) // n_accum, 1)
 
@@ -121,6 +156,7 @@ def run(config: Config) -> None:
         weight_decay=config.train.weight_decay,
         clip_grad=config.train.clip_grad,
         accum_steps=n_accum,
+        fused=True,
     )
     state, shardings = make_train_state(
         init_fn, tx, mesh, fsdp=bool(config.get("mesh", {}).get("fsdp", False))

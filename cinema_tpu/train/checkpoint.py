@@ -86,6 +86,9 @@ class CheckpointRetention:
             to_delete = self.saved.pop(0)
             if to_delete.exists():
                 shutil.rmtree(to_delete, ignore_errors=True)
+            meta = to_delete.parent / f"{to_delete.name}.meta.json"
+            if meta.exists():
+                meta.unlink()
             logger.info(f"Deleted an outdated checkpoint {to_delete}.")
 
     @property

@@ -130,6 +130,9 @@ def run_train(
     Returns:
         the run directory.
     """
+    from cinema_tpu.compile_cache import enable_persistent_cache
+
+    enable_persistent_cache()
     rng = jax.random.PRNGKey(config.seed)
     train_dataset, val_dataset = load_dataset(config)
     for ds in (train_dataset, val_dataset):
@@ -208,6 +211,7 @@ def run_train(
         n_blocks=getattr(model, "enc_depth", 0),
         freeze_mask=None,
         accum_steps=n_accum_steps,
+        fused=True,
     )
     fsdp = bool(mesh_cfg.get("fsdp", False))
     state, state_shardings = make_train_state(init_fn, tx, mesh, fsdp=fsdp)
@@ -231,6 +235,7 @@ def run_train(
                 n_blocks=getattr(model, "enc_depth", 0),
                 freeze_mask=freeze_mask,
                 accum_steps=n_accum_steps,
+                fused=True,
             )
             abstract_opt = jax.eval_shape(tx.init, state.params)
             from cinema_tpu.parallel.mesh import param_shardings
@@ -249,23 +254,30 @@ def run_train(
     # run record, log.py:45-76/train.py:243-257)
     # resume an interrupted fine-tune (beyond the reference, whose run_train
     # cannot resume — cinema/train.py:171-351): the full train state restores
-    # sharded onto the current mesh; early stopping restarts fresh (its best
-    # metric is recomputed at the next eval)
+    # sharded onto the current mesh; early-stopping best/patience restore
+    # from the checkpoint's meta sidecar so the saved best stays monotone
+    early_stop = EarlyStopping(
+        min_delta=config.train.early_stopping.min_delta,
+        patience=config.train.early_stopping.patience,
+    )
     start_epoch = 0
     if config.train.get("resume_path"):
         resume = Path(config.train.resume_path)
         state = load_checkpoint(resume, state, shardings=state_shardings)
         start_epoch = int(state.step) // steps_per_epoch
-        logger.info(f"Resumed from {resume} at epoch {start_epoch}.")
+        meta_path = resume.parent / f"{resume.name}.meta.json"
+        if meta_path.exists():
+            early_stop.load_state_dict(json.loads(meta_path.read_text()))
+        logger.info(
+            f"Resumed from {resume} at epoch {start_epoch}"
+            + (f" (best={early_stop.best_metric:.4f})" if meta_path.exists() else "")
+            + "."
+        )
 
     out_dir = init_run_dir(config, out_dir=out_dir)
     save_config(config, out_dir / "config.yaml")
     metrics_logger = MetricsLogger(out_dir)
 
-    early_stop = EarlyStopping(
-        min_delta=config.train.early_stopping.min_delta,
-        patience=config.train.early_stopping.patience,
-    )
     retention = CheckpointRetention(config.train.max_n_ckpts)
 
     import jax.numpy as jnp
@@ -301,8 +313,13 @@ def run_train(
             early_metric = -early_metric
         early_stop.update(early_metric)
 
-        if early_stop.has_improved or epoch == 0:
+        if early_stop.has_improved:
             path = save_checkpoint(out_dir, state, epoch)
+            # meta sidecar: early-stopping state for monotone saved-best
+            # across a resume (the reference cannot resume fine-tunes at all)
+            (path.parent / f"{path.name}.meta.json").write_text(
+                json.dumps({**early_stop.state_dict(), "epoch": epoch})
+            )
             save_params_safetensors(state.params, out_dir / f"model_{epoch}.safetensors")
             retention.add(path, epoch)
             logger.info(f"Saved checkpoint of epoch {epoch} at {path}.")

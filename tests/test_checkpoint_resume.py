@@ -56,6 +56,85 @@ def test_cross_mesh_restore(tmp_path):
     assert kernel.sharding.mesh.shape["data"] == 2  # placed on the NEW mesh
 
 
+def test_finetune_resume_keeps_saved_best_monotone(tmp_path):
+    """The early-stopping best metric persists in the checkpoint's meta
+    sidecar: a resumed run does NOT re-save on a first eval that is worse
+    than the interrupted run's best (Weak #4 of round 3; the reference
+    cannot resume fine-tunes at all, cinema/train.py:171-351)."""
+    from flax import linen as nn
+
+    from cinema_tpu.config import apply_overrides, load_config
+    from cinema_tpu.train.loop import run_train
+
+    from pathlib import Path
+
+    config_path = (
+        Path(__file__).parent.parent / "cinema_tpu" / "configs" / "segmentation" / "acdc.yaml"
+    )
+
+    class _Data:
+        def __len__(self):
+            return 4
+
+        def __getitem__(self, i):
+            return {"sax_image": np.full((4, 4, 1), float(i), np.float32)}
+
+    class _Tiny(nn.Module):
+        @nn.compact
+        def __call__(self, images, deterministic=True):
+            return nn.Dense(2)(images["sax"].reshape(images["sax"].shape[0], -1))
+
+    def loss_fn(model, params, batch, rng):
+        out = model.apply(params, {"sax": jnp.asarray(batch["sax_image"])})
+        return jnp.mean(out**2), ({"loss": jnp.mean(out**2)}, {})
+
+    def make_eval(values):
+        vals = list(values)
+
+        def eval_fn(model, params, loader, config):
+            return {"mean_dice_score": vals.pop(0)}
+
+        return eval_fn
+
+    def cfg(n_epochs, out, resume=None):
+        overrides = [
+            "train.batch_size=2",
+            "train.batch_size_per_device=2",
+            f"train.n_epochs={n_epochs}",
+            "train.n_warmup_epochs=0",
+            "train.eval_interval=1",
+            "train.n_workers=1",
+            "train.early_stopping.patience=10",
+            f"logging.dir={tmp_path / out}",
+        ]
+        if resume is not None:
+            overrides.append(f"train.resume_path={resume}")
+        return apply_overrides(load_config(config_path), overrides)
+
+    common = dict(
+        load_dataset=lambda c: (_Data(), _Data()),
+        get_model_fn=lambda c: _Tiny(),
+        loss_fn=loss_fn,
+    )
+    # run 1: evals 0.3 then 0.5 -> saves ckpt_0 and ckpt_1 (+ meta sidecars)
+    first = run_train(cfg(2, "runs"), eval_dataloader_fn=make_eval([0.3, 0.5]), **common)
+    assert (first / "ckpt_1").exists()
+    meta = json.loads((first / "ckpt_1.meta.json").read_text())
+    assert meta["best_metric"] == pytest.approx(-0.5)  # max-mode negation
+
+    # run 2 resumes at epoch 2: eval 0.4 < saved best 0.5 -> NO save;
+    # eval 0.6 improves -> ckpt_3 saved with the new best
+    second = run_train(
+        cfg(4, "runs_resumed", resume=first / "ckpt_1"),
+        eval_dataloader_fn=make_eval([0.4, 0.6]),
+        **common,
+    )
+    assert not (second / "ckpt_2").exists(), "worse-than-best eval must not re-save"
+    assert (second / "ckpt_3").exists()
+    meta2 = json.loads((second / "ckpt_3.meta.json").read_text())
+    assert meta2["best_metric"] == pytest.approx(-0.6)
+
+
 @pytest.mark.slow
 def test_pretrain_run_and_resume(tmp_path):
     """ukb_mae_pretrain end-to-end on synthetic 4D studies, then resume from

@@ -161,4 +161,15 @@ def test_acdc_resume_from_checkpoint(acdc_dir, tmp_path):
     metrics = [json.loads(line) for line in (second / "metrics.jsonl").read_text().splitlines()]
     train_epochs = [m["epoch"] for m in metrics if "train_loss" in m]
     assert train_epochs == [2, 3], f"resume must continue at epoch 2, logged {train_epochs}"
-    assert (second / "ckpt_3").exists()
+    # saved-best is monotone across the resume: ckpt_3 exists iff the
+    # resumed run's eval beat the best restored from ckpt_1's meta sidecar
+    first_metrics = [
+        json.loads(line) for line in (first / "metrics.jsonl").read_text().splitlines()
+    ]
+    best_before = max(m["val_mean_dice_score"] for m in first_metrics if "val_mean_dice_score" in m)
+    val_after = [m["val_mean_dice_score"] for m in metrics if "val_mean_dice_score" in m]
+    assert val_after, "resumed run must eval at epoch 3"
+    if (second / "ckpt_3").exists():
+        assert max(val_after) > best_before
+    else:
+        assert max(val_after) <= best_before

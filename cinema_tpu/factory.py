@@ -164,8 +164,15 @@ def get_segmentation_model(config: Config, dtype: Dtype = jnp.float32):
 
 
 def _example_images(model, batch: int = 1) -> Dict[str, jnp.ndarray]:
+    # ConvViT consumes n_frames stacked as channels (ED+ES = 2, reference
+    # convvit.py:399 `n_frames * in_chans`); init with the runtime channel
+    # count or from_finetuned builds mis-shaped patch-embed kernels
+    n_frames = getattr(model, "n_frames", 1)
     return {
-        v: jnp.zeros((batch, *model.image_size_dict[v], model.in_chans_dict[v]), jnp.float32)
+        v: jnp.zeros(
+            (batch, *model.image_size_dict[v], n_frames * model.in_chans_dict[v]),
+            jnp.float32,
+        )
         for v in model.views
     }
 

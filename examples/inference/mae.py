@@ -59,6 +59,22 @@ def main() -> None:
         )
         recon = np.asarray(unpatchify(full, dec_patch, grid))[0, ..., 0]
         np.save(args.out / f"recon_{view}.npy", recon)
+
+        # binary mask volume (1 = patch was masked) for the viz grid
+        ones = jnp.zeros_like(jnp.asarray(target))
+        ones = ones.at[jnp.arange(1)[:, None], masks[view].mask_ids].set(1.0)
+        mask_vol = np.asarray(unpatchify(ones, dec_patch, grid))[0, ..., 0]
+
+        if view == "sax":
+            # original/masked/reconstructed/error grid (reference mae.py:14-56)
+            from cinema_tpu.viz import plot_mae_reconstruction
+
+            plot_mae_reconstruction(
+                np.asarray(images[view])[0, ..., 0].astype(np.float32),
+                recon.astype(np.float32),
+                mask_vol.astype(np.float32),
+                args.out / "mae_reconstruction.png",
+            )
     print(f"loss={float(loss):.4f}; reconstructions saved to {args.out}")
 
 

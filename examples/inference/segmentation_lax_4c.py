@@ -60,27 +60,21 @@ def main() -> None:
 
     forward = jax.jit(lambda p, imgs: model.apply(p, imgs))
     logits = forward(params, {"lax_4c": batch})["lax_4c"]
-    labels = np.asarray(jnp.argmax(logits, axis=-1), dtype=np.uint8)  # (t, x, y, z)
+    labels = np.asarray(jnp.argmax(logits, axis=-1), dtype=np.uint8)  # (t, x, y)
     labels = np.asarray(crop_start(labels, (n_frames, *orig_shape[:2])))
-    labels = np.moveaxis(labels, 0, -1)  # (x, y, z, t)
+    labels = np.moveaxis(labels, 0, -1)[:, :, None, :]  # (x, y, 1, t)
 
     args.out.mkdir(parents=True, exist_ok=True)
     save_nifti(args.out / "segmentation_lax_4c_t.nii.gz", labels, spacing=header.spacing)
-    try:
-        import matplotlib
 
-        matplotlib.use("Agg")
-        import matplotlib.pyplot as plt
+    # animated cine GIF + area/EF curves (reference
+    # segmentation_lax_4c.py:47-130)
+    from cinema_tpu.viz import plot_segmentations_gif, plot_volume_changes
 
-        mid = labels.shape[2] // 2
-        fig, axes = plt.subplots(1, 2, figsize=(8, 4))
-        axes[0].imshow(video[:, :, mid, 0].T, cmap="gray")
-        axes[0].set_title("frame 0")
-        axes[1].imshow(labels[:, :, mid, 0].T, vmin=0, vmax=3)
-        axes[1].set_title("prediction")
-        fig.savefig(args.out / "segmentation_lax_4c.png", dpi=120)
-    except Exception:  # plotting is best-effort
-        pass
+    plot_segmentations_gif(
+        video.astype(np.float32), labels, args.out / "segmentation_lax_4c.gif"
+    )
+    plot_volume_changes(labels, args.out / "lax_4c_areas.png")
     print(f"Saved segmentation for {n_frames} frames to {args.out}.")
 
 

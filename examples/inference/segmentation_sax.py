@@ -3,7 +3,9 @@
 
 Loads a finetuned ConvUNetR (local safetensors+config, or HuggingFace
 ``repo::filename`` refs), segments every frame of a 4D SAX NIfTI in ONE
-batched forward, and writes a labelled NIfTI + a mid-slice PNG.
+batched forward, and writes a labelled NIfTI + the reference's animated
+cine GIF and ventricle-volume/LVEF plot
+(reference segmentation_sax.py:19-107).
 
 Usage:
     python examples/inference/segmentation_sax.py \
@@ -39,6 +41,7 @@ def main() -> None:
     parser.add_argument("--config", required=True, help="config.yaml path or repo::file")
     parser.add_argument("--image", required=True, type=Path, help="4D SAX NIfTI (x, y, z, t)")
     parser.add_argument("--out", type=Path, default=Path("out"))
+    parser.add_argument("--t_step", type=int, default=1, help="GIF temporal stride")
     args = parser.parse_args()
 
     model, params = from_finetuned("convunetr", args.model, args.config, dtype=jnp.bfloat16)
@@ -79,21 +82,19 @@ def main() -> None:
 
     args.out.mkdir(parents=True, exist_ok=True)
     save_nifti(args.out / "segmentation_sax_t.nii.gz", labels, spacing=header.spacing)
-    try:
-        import matplotlib
 
-        matplotlib.use("Agg")
-        import matplotlib.pyplot as plt
+    # animated cine GIF + ventricle-volume/EF curves (reference
+    # segmentation_sax.py:19-107)
+    from cinema_tpu.viz import plot_segmentations_gif, plot_volume_changes
 
-        mid = labels.shape[2] // 2
-        fig, axes = plt.subplots(1, 2, figsize=(8, 4))
-        axes[0].imshow(video[:, :, mid, 0].T, cmap="gray")
-        axes[0].set_title("frame 0")
-        axes[1].imshow(labels[:, :, mid, 0].T, vmin=0, vmax=3)
-        axes[1].set_title("prediction")
-        fig.savefig(args.out / "segmentation_sax.png", dpi=120)
-    except Exception:  # plotting is best-effort
-        pass
+    plot_segmentations_gif(
+        video.astype(np.float32), labels, args.out / "segmentation_sax.gif", t_step=args.t_step
+    )
+    ml_per_voxel = float(np.prod(header.spacing[:3])) / 1000.0
+    efs = plot_volume_changes(
+        labels, args.out / "ventricle_volumes.png", t_step=args.t_step, ml_per_voxel=ml_per_voxel
+    )
+    print(f"LVEF = {efs['lvef']:.2f}%, RVEF = {efs['rvef']:.2f}%")
     print(f"Saved segmentation for {n_frames} frames to {args.out}.")
 
 

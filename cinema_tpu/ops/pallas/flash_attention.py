@@ -373,7 +373,11 @@ def _packed_fwd_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, n_k: int, he
         )
         denom = out_aug[:, d : d + 1]
         if n_pad:
-            denom = denom - n_pad * jnp.exp2(-m)
+            # floor keeps the pathological all-scores-far-below-0 row finite
+            # (pad mass then dominates the MXU-summed denominator and the
+            # subtraction cancels catastrophically); impossible for
+            # layernormed activations, free on the (bq, 1) column
+            denom = jnp.maximum(denom - n_pad * jnp.exp2(-m), 1e-30)
         out = out_aug[:, :d] / denom
         o_ref[0, :, sl] = out.astype(o_ref.dtype)
 
@@ -414,7 +418,8 @@ def _packed_bwd_kernel(
         exp = jnp.exp2(scores - m)
         denom = jnp.sum(exp, axis=-1, keepdims=True)
         if n_pad:
-            denom = denom - n_pad * jnp.exp2(-m)
+            # same closed-form pad-mass subtraction + floor as the fwd kernel
+            denom = jnp.maximum(denom - n_pad * jnp.exp2(-m), 1e-30)
         probs = exp / denom
 
         # dprobs does not depend on the softmax recompute: MXU/VPU overlap

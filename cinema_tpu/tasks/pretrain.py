@@ -49,19 +49,29 @@ def scan_manifest(data_dir: Path, views: List[str], rescan: bool = False) -> Lis
     """Find study dirs containing all views' 4D NIfTIs, with a JSON cache
     (reference pretrain.py:49-85 caches its 70k-study scan to
     manifest_paths.json; rescanning the tree per launch is minutes at UKB
-    scale). The cache keys on the view set; a stale first entry (moved
-    data) triggers a rescan like the reference's existence check."""
+    scale). The cache keys on the view set; it is invalidated when its first
+    entry no longer resolves (moved data, the reference's existence check)
+    OR when data_dir's subdirectory count changed (studies added/removed
+    after the cache was written — one cheap listdir, no per-study stat)."""
     import json
 
     from cinema_tpu.data.datasets import find_view_file
 
     cache_path = data_dir / f"manifest_pids_{'_'.join(sorted(views))}.json"
+    n_dir_entries = sum(1 for p in data_dir.iterdir() if p.is_dir())
     if not rescan and cache_path.exists():
         try:
-            pids = json.load(open(cache_path, encoding="utf-8"))
+            cached = json.load(open(cache_path, encoding="utf-8"))
         except (json.JSONDecodeError, OSError):
-            pids = None
-        if pids and find_view_file(data_dir / pids[0], pids[0], views[0]) is not None:
+            cached = None
+        # legacy list-format caches carry no entry count: stale, rescan once
+        pids = cached.get("pids") if isinstance(cached, dict) else None
+        cached_entries = cached.get("n_dir_entries", -1) if isinstance(cached, dict) else -1
+        if (
+            pids
+            and cached_entries == n_dir_entries
+            and find_view_file(data_dir / pids[0], pids[0], views[0]) is not None
+        ):
             logger.info(f"Loaded {len(pids)} studies from cache {cache_path}.")
             return pids
         logger.warning(f"Manifest cache {cache_path} is stale, rescanning.")
@@ -76,19 +86,20 @@ def scan_manifest(data_dir: Path, views: List[str], rescan: bool = False) -> Lis
     if pids:
         try:
             with open(cache_path, "w", encoding="utf-8") as f:
-                json.dump(pids, f)
+                json.dump({"pids": pids, "n_dir_entries": n_dir_entries}, f)
         except OSError:  # read-only data dir: scanning still works
             logger.warning(f"Could not write manifest cache {cache_path}.")
     return pids
 
 
 def run(config: Config) -> None:
+    # multi-host init MUST precede any backend-touching call (including the
+    # compile cache's platform probe): jax.distributed.initialize raises
+    # once backends exist (see parallel/multihost.py)
+    maybe_initialize_distributed(bool(config.get("mesh", {}).get("multiprocess", False)))
     from cinema_tpu.compile_cache import enable_persistent_cache
 
     enable_persistent_cache()
-    # multi-host: one process per host joins the SPMD program (replaces the
-    # reference's mp.spawn + DDP rendezvous, pretrain.py:434-448)
-    maybe_initialize_distributed(bool(config.get("mesh", {}).get("multiprocess", False)))
     views = list(config.model.views)
     data_dir = Path(config.data.dir).expanduser()
     pids = scan_manifest(data_dir, views, rescan=bool(config.data.get("rescan", False)))

@@ -22,7 +22,13 @@ and the step count only advances on real updates so Adam bias correction
 and the LR schedule see the same history as the reference.
 
 The state layout mirrors ``optax.scale_by_adam`` (count/mu/nu) so the
-path-suffix sharding rules and orbax checkpointing apply unchanged.
+path-suffix sharding rules and orbax checkpointing apply to NEW checkpoints
+unchanged. Checkpoints written with the optax chain (pre round 4, or any
+``accum_steps > 1`` config — see ``build_optimizer``) hold the chain's
+state tuple instead and fail orbax structure matching against
+``FusedAdamWState``; ``train/loop.py`` detects this on resume and falls
+back to the chain optimizer for that run (identical update semantics,
+pinned by tests/test_fused_optim.py).
 """
 
 from __future__ import annotations

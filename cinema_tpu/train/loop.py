@@ -198,23 +198,27 @@ def run_train(
     freeze_mask = None
     pretrained = config.model.get("ckpt_path") is not None and load_pretrained_fn is not None
 
-    tx = build_optimizer(
-        params_template,
-        lr=config.train.lr,
-        min_lr=config.train.min_lr,
-        warmup_steps=config.train.n_warmup_epochs * steps_per_epoch,
-        max_n_steps=config.train.n_epochs * steps_per_epoch,
-        betas=tuple(config.train.betas),
-        weight_decay=config.train.weight_decay,
-        clip_grad=config.train.clip_grad if config.train.clip_grad > 0 else None,
-        layer_decay=config.train.get("layer_decay") if pretrained else None,
-        n_blocks=getattr(model, "enc_depth", 0),
-        freeze_mask=None,
-        accum_steps=n_accum_steps,
-        fused=True,
-    )
+    def make_tx(freeze, fused=True):
+        return build_optimizer(
+            params_template,
+            lr=config.train.lr,
+            min_lr=config.train.min_lr,
+            warmup_steps=config.train.n_warmup_epochs * steps_per_epoch,
+            max_n_steps=config.train.n_epochs * steps_per_epoch,
+            betas=tuple(config.train.betas),
+            weight_decay=config.train.weight_decay,
+            clip_grad=config.train.clip_grad if config.train.clip_grad > 0 else None,
+            layer_decay=config.train.get("layer_decay") if pretrained else None,
+            n_blocks=getattr(model, "enc_depth", 0),
+            freeze_mask=freeze,
+            accum_steps=n_accum_steps,
+            fused=fused,
+        )
+
+    tx = make_tx(None)
     fsdp = bool(mesh_cfg.get("fsdp", False))
     state, state_shardings = make_train_state(init_fn, tx, mesh, fsdp=fsdp)
+    frozen = False
     if pretrained:
         new_params, freeze_mask = load_pretrained_fn(state.params, config)
         # restore the mesh placement (loaded params are host/uncommitted)
@@ -222,21 +226,8 @@ def run_train(
         state = state.replace(params=new_params)
         if config.model.get("freeze_pretrained") and freeze_mask is not None:
             # rebuild optimizer with the freeze mask applied
-            tx = build_optimizer(
-                params_template,
-                lr=config.train.lr,
-                min_lr=config.train.min_lr,
-                warmup_steps=config.train.n_warmup_epochs * steps_per_epoch,
-                max_n_steps=config.train.n_epochs * steps_per_epoch,
-                betas=tuple(config.train.betas),
-                weight_decay=config.train.weight_decay,
-                clip_grad=config.train.clip_grad if config.train.clip_grad > 0 else None,
-                layer_decay=config.train.get("layer_decay"),
-                n_blocks=getattr(model, "enc_depth", 0),
-                freeze_mask=freeze_mask,
-                accum_steps=n_accum_steps,
-                fused=True,
-            )
+            frozen = True
+            tx = make_tx(freeze_mask)
             abstract_opt = jax.eval_shape(tx.init, state.params)
             from cinema_tpu.parallel.mesh import param_shardings
 
@@ -245,10 +236,6 @@ def run_train(
                 opt_state=jax.jit(tx.init, out_shardings=opt_shardings)(state.params)
             )
             state_shardings = state_shardings.replace(opt_state=opt_shardings)
-
-    step_fn = make_supervised_train_step(
-        model, tx, loss_fn, mesh=mesh, state_shardings=state_shardings, donate=True
-    )
 
     # run dir + run.json (tags + flattened config — the reference's wandb
     # run record, log.py:45-76/train.py:243-257)
@@ -261,24 +248,45 @@ def run_train(
         patience=config.train.early_stopping.patience,
     )
     start_epoch = 0
+    resumed_meta = False
     if config.train.get("resume_path"):
         resume = Path(config.train.resume_path)
-        state = load_checkpoint(resume, state, shardings=state_shardings)
+        try:
+            state = load_checkpoint(resume, state, shardings=state_shardings)
+        except Exception:
+            # checkpoints written before the fused AdamW (round 4) hold the
+            # optax chain's opt_state tuple, which fails orbax structure
+            # matching against FusedAdamWState — fall back to the chain
+            # optimizer for this run (same update semantics, see
+            # train/fused_optim.py; only the state layout differs)
+            logger.warning(
+                f"Checkpoint {resume} does not match the fused-AdamW state "
+                "layout; retrying with the optax chain optimizer."
+            )
+            tx = make_tx(freeze_mask if frozen else None, fused=False)
+            state, state_shardings = make_train_state(init_fn, tx, mesh, fsdp=fsdp)
+            state = load_checkpoint(resume, state, shardings=state_shardings)
         start_epoch = int(state.step) // steps_per_epoch
         meta_path = resume.parent / f"{resume.name}.meta.json"
         if meta_path.exists():
             early_stop.load_state_dict(json.loads(meta_path.read_text()))
+            resumed_meta = True
         logger.info(
             f"Resumed from {resume} at epoch {start_epoch}"
-            + (f" (best={early_stop.best_metric:.4f})" if meta_path.exists() else "")
+            + (f" (best={early_stop.best_metric:.4f})" if resumed_meta else "")
             + "."
         )
+
+    step_fn = make_supervised_train_step(
+        model, tx, loss_fn, mesh=mesh, state_shardings=state_shardings, donate=True
+    )
 
     out_dir = init_run_dir(config, out_dir=out_dir)
     save_config(config, out_dir / "config.yaml")
     metrics_logger = MetricsLogger(out_dir)
 
     retention = CheckpointRetention(config.train.max_n_ckpts)
+    saved_any = False
 
     import jax.numpy as jnp
 
@@ -313,7 +321,12 @@ def run_train(
             early_metric = -early_metric
         early_stop.update(early_metric)
 
-        if early_stop.has_improved:
+        # the first eval of a FRESH run always checkpoints (the reference's
+        # epoch-0 save, cinema/train.py:335-342) — otherwise a run whose
+        # eval metric is NaN at every epoch would never save anything
+        # (NaN < inf - delta is False, so has_improved never fires)
+        if early_stop.has_improved or not (saved_any or resumed_meta):
+            saved_any = True
             path = save_checkpoint(out_dir, state, epoch)
             # meta sidecar: early-stopping state for monotone saved-best
             # across a resume (the reference cannot resume fine-tunes at all)

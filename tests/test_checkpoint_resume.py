@@ -135,6 +135,72 @@ def test_finetune_resume_keeps_saved_best_monotone(tmp_path):
     assert meta2["best_metric"] == pytest.approx(-0.6)
 
 
+def test_finetune_resume_falls_back_to_chain_optimizer(tmp_path):
+    """A checkpoint written with the optax-chain opt_state (pre-fused-AdamW
+    format, or any accum_steps > 1 run) fails orbax structure matching
+    against FusedAdamWState; run_train must detect that and resume with the
+    chain optimizer instead of crashing (ADVICE round 4)."""
+    from flax import linen as nn
+
+    from cinema_tpu.config import apply_overrides, load_config
+    from cinema_tpu.train.loop import run_train
+    from cinema_tpu.train.optim import build_optimizer
+    from cinema_tpu.train.state import TrainState
+
+    from pathlib import Path
+
+    config_path = (
+        Path(__file__).parent.parent / "cinema_tpu" / "configs" / "segmentation" / "acdc.yaml"
+    )
+
+    class _Data:
+        def __len__(self):
+            return 4
+
+        def __getitem__(self, i):
+            return {"sax_image": np.full((4, 4, 1), float(i), np.float32)}
+
+    class _Tiny(nn.Module):
+        @nn.compact
+        def __call__(self, images, deterministic=True):
+            return nn.Dense(2)(images["sax"].reshape(images["sax"].shape[0], -1))
+
+    def loss_fn(model, params, batch, rng):
+        out = model.apply(params, {"sax": jnp.asarray(batch["sax_image"])})
+        return jnp.mean(out**2), ({"loss": jnp.mean(out**2)}, {})
+
+    # old-format checkpoint: same model/params, CHAIN opt_state (fused=False)
+    model = _Tiny()
+    variables = model.init(jax.random.PRNGKey(0), {"sax": jnp.zeros((1, 4, 4, 1))})
+    chain_tx = build_optimizer(
+        variables, lr=1e-3, warmup_steps=0, max_n_steps=10, clip_grad=5.0, fused=False
+    )
+    old_state = TrainState.create(variables, chain_tx)
+    old_path = save_checkpoint(tmp_path / "old", old_state, epoch=1)
+
+    overrides = [
+        "train.batch_size=2",
+        "train.batch_size_per_device=2",
+        "train.n_epochs=2",
+        "train.n_warmup_epochs=0",
+        "train.eval_interval=1",
+        "train.n_workers=1",
+        f"train.resume_path={old_path}",
+        f"logging.dir={tmp_path / 'runs'}",
+    ]
+    out_dir = run_train(
+        apply_overrides(load_config(config_path), overrides),
+        load_dataset=lambda c: (_Data(), _Data()),
+        get_model_fn=lambda c: _Tiny(),
+        loss_fn=loss_fn,
+        eval_dataloader_fn=lambda m, p, l, c: {"mean_dice_score": 0.5},
+    )
+    metrics = [
+        json.loads(line) for line in (out_dir / "metrics.jsonl").read_text().splitlines()
+    ]
+    assert any("train_loss" in m for m in metrics), "resumed run must train"
+
+
 @pytest.mark.slow
 def test_pretrain_run_and_resume(tmp_path):
     """ukb_mae_pretrain end-to-end on synthetic 4D studies, then resume from

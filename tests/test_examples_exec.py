@@ -49,12 +49,35 @@ _CONVVIT_TINY = [
 ]
 
 
-def _save_ckpt(config, model, out_dir: Path, name: str):
-    out_dir.mkdir(parents=True, exist_ok=True)
-    params = init_params(model)
-    save_params_safetensors(params, out_dir / f"{name}.safetensors")
-    save_config(config, out_dir / f"{name}.yaml")
-    return out_dir / f"{name}.safetensors", out_dir / f"{name}.yaml"
+CKPT_CACHE = Path(__file__).parent / "fixtures" / "example_ckpts"
+
+
+def _cached_ckpt(config, model, name: str):
+    """Persistent tiny-checkpoint cache (round-4 Weak #6: building 7 jitted
+    inits per module fixture cost ~7 min of the slow tier on a 1-core host).
+
+    Keyed on the abstract param tree (shapes/dtypes/paths), so any model or
+    config change that alters the checkpoint regenerates it; entries live in
+    tests/fixtures/ and are committed, making first runs fast too."""
+    import hashlib
+    import shutil
+
+    import jax
+
+    abstract = jax.eval_shape(lambda: init_params(model))
+    tree_repr = str(
+        jax.tree_util.tree_map(lambda x: (tuple(x.shape), str(x.dtype)), abstract)
+    )
+    digest = hashlib.sha256(tree_repr.encode()).hexdigest()[:12]
+    cache = CKPT_CACHE / f"{name}-{digest}"
+    st, yaml = cache / f"{name}.safetensors", cache / f"{name}.yaml"
+    if not (st.exists() and yaml.exists()):
+        for stale in CKPT_CACHE.glob(f"{name}-*"):
+            shutil.rmtree(stale, ignore_errors=True)
+        cache.mkdir(parents=True, exist_ok=True)
+        save_params_safetensors(init_params(model), st)
+        save_config(config, yaml)
+    return st, yaml
 
 
 def _run_example(script: str, argv: list[str], capsys=None) -> str:
@@ -105,7 +128,7 @@ def fixtures(tmp_path_factory):
             model = get_convvit_model(cfg, remat=False)
         else:
             model = get_mae_model(cfg, remat=False)
-        fx[name] = _save_ckpt(cfg, model, root / "ckpts", name)
+        fx[name] = _cached_ckpt(cfg, model, name)
 
     build(
         CONFIGS / "segmentation" / "acdc.yaml", "convunetr", "seg_sax",

@@ -103,6 +103,50 @@ def test_fused_freeze_mask_zeroes_updates():
     assert not np.allclose(np.asarray(p1["dense"]["kernel"]), np.asarray(params["dense"]["kernel"]))
 
 
+@pytest.mark.parametrize("clip_grad", [None, 0.5])
+def test_accumulation_matches_fused_trajectory(clip_grad):
+    """K microbatches through optax.MultiSteps(chain) == one fused-AdamW step
+    on the mean gradient. This pins the path split in build_optimizer
+    (train/optim.py): any ``accum_steps > 1`` config (e.g. the reference's
+    flagship batch-64 recipe on < 4 chips) silently takes the MultiSteps
+    chain instead of the fused optimizer — the two must walk the same
+    trajectory given the same data."""
+    params = _params()
+    k_micro = 4
+    kwargs = dict(
+        lr=1e-2,
+        min_lr=1e-4,
+        warmup_steps=2,
+        max_n_steps=10,
+        weight_decay=0.05,
+        clip_grad=clip_grad,
+        layer_decay=0.75,
+        n_blocks=1,
+    )
+    accum = build_optimizer(params, accum_steps=k_micro, fused=True, **kwargs)
+    fused = build_optimizer(params, fused=True, **kwargs)
+    # accum_steps > 1 bypasses the fused form: MultiSteps wraps the chain
+    assert hasattr(fused, "update_with_guard")
+    assert not hasattr(accum, "update_with_guard")
+
+    p_accum, s_accum = params, accum.init(params)
+    p_fused, s_fused = params, fused.init(params)
+    for step in range(3):
+        micro = [_grads(step * k_micro + i) for i in range(k_micro)]
+        for g in micro:
+            updates, s_accum = accum.update(g, s_accum, p_accum)
+            p_accum = optax.apply_updates(p_accum, updates)
+        # the jitted steps' per-microbatch loss is a batch mean, so the
+        # full-batch gradient is the mean of the microbatch gradients —
+        # exactly what MultiSteps accumulates
+        mean_g = jax.tree_util.tree_map(lambda *gs: sum(gs) / k_micro, *micro)
+        p_fused, s_fused, _ = fused.update_with_guard(
+            mean_g, s_fused, p_fused, jnp.asarray(True)
+        )
+    for a, b in zip(jax.tree_util.tree_leaves(p_accum), jax.tree_util.tree_leaves(p_fused)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-5, atol=2e-7)
+
+
 def test_train_step_uses_fused_and_matches_chain():
     """The MAE train step produces the same params with either optimizer form."""
     from flax import linen as nn

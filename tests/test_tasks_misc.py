@@ -356,3 +356,31 @@ def test_landmark_coordinate_task_end_to_end(landmark_dir, tmp_path):
     run_dir = next((tmp_path / "runs").iterdir())
     lines = (run_dir / "metrics.jsonl").read_text().splitlines()
     assert any("val_mean_coordinate_error" in line for line in lines)
+
+
+def test_scan_manifest_cache_detects_new_studies(tmp_path):
+    """Studies added to data_dir AFTER the manifest cache was written must be
+    picked up without data.rescan (ADVICE round 4: the old cache only checked
+    that its first entry still resolved)."""
+    from cinema_tpu.tasks.pretrain import scan_manifest
+
+    def add_study(pid):
+        d = tmp_path / pid
+        d.mkdir()
+        save_nifti(
+            d / f"{pid}_sax_t.nii.gz",
+            np.zeros((4, 4, 2, 2), np.float32),
+            spacing=(1, 1, 10, 1),
+        )
+
+    add_study("a01")
+    assert scan_manifest(tmp_path, ["sax"]) == ["a01"]
+    # cache exists now; a new study invalidates it via the dir-entry count
+    add_study("a02")
+    assert scan_manifest(tmp_path, ["sax"]) == ["a01", "a02"]
+    # unchanged dir -> served from cache (same result)
+    assert scan_manifest(tmp_path, ["sax"]) == ["a01", "a02"]
+    # legacy list-format caches are treated as stale exactly once
+    cache = next(tmp_path.glob("manifest_pids_*.json"))
+    cache.write_text(json.dumps(["a01"]))
+    assert scan_manifest(tmp_path, ["sax"]) == ["a01", "a02"]

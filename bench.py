@@ -276,11 +276,13 @@ def bench_input_pipeline(step_clips_per_sec: float) -> dict:
     n_studies = 16
     views = {"sax": (192, 192, 16, 50), "lax_2c": (256, 256, 1, 50),
              "lax_3c": (256, 256, 1, 50), "lax_4c": (256, 256, 1, 50)}
-    base = Path(tempfile.gettempdir()) / "cinema_loader_bench"
+    base = Path(tempfile.gettempdir()) / "cinema_loader_bench_v2"
     src = base / "study00"
+    legacy = base / "legacy" / "study00"
     if not all((src / f"study00_{v}_t.nii.gz").exists() for v in views):
         shutil.rmtree(base, ignore_errors=True)
         src.mkdir(parents=True)
+        legacy.mkdir(parents=True)
         rng = np.random.default_rng(0)
         for v, shape in views.items():
             # smooth field + noise: gz ratio ~2x, like clipped uint8 MRI
@@ -288,7 +290,10 @@ def bench_input_pipeline(step_clips_per_sec: float) -> dict:
             up = (shape[0] + 15) // 16
             data = np.kron(low, np.ones((up, up, 1, 1)))[: shape[0], : shape[1]]
             data = (data + rng.integers(0, 40, size=shape)).astype(np.uint8)
-            save_nifti(src / f"study00_{v}_t.nii.gz", data, spacing=(1, 1, 10, 1))
+            # frame-indexed: what ukb_dicom/cinema_reindex_nifti write now
+            save_nifti(src / f"study00_{v}_t.nii.gz", data, spacing=(1, 1, 10, 1),
+                       frame_indexed=True)
+            save_nifti(legacy / f"study00_{v}_t.nii.gz", data, spacing=(1, 1, 10, 1))
     pids = ["study00"]
     for i in range(1, n_studies):
         pid = f"study{i:02d}"
@@ -303,12 +308,19 @@ def bench_input_pipeline(step_clips_per_sec: float) -> dict:
     transform = get_pretrain_transforms(config)
     dataset = UKBCineDataset(base, pids, transform=transform, seed=0)
 
-    # per-item decomposition (single worker): frame-seek read vs transform
+    # per-item decomposition (single worker): frame read vs transform;
+    # frame-INDEXED files (the preprocess default since round 5) inflate one
+    # gzip member per read instead of the whole stream prefix
     raw_ds = UKBCineDataset(base, pids, transform=None, seed=0)
     t0 = time.perf_counter()
+    for i in range(12):
+        raw_ds[i % n_studies]
+    read_s = (time.perf_counter() - t0) / 12
+    legacy_ds = UKBCineDataset(base / "legacy", ["study00"], transform=None, seed=0)
+    t0 = time.perf_counter()
     for i in range(6):
-        raw_ds[i]
-    read_s = (time.perf_counter() - t0) / 6
+        legacy_ds[0]
+    read_legacy_s = (time.perf_counter() - t0) / 6
     t0 = time.perf_counter()
     for i in range(6):
         dataset[i]
@@ -338,6 +350,7 @@ def bench_input_pipeline(step_clips_per_sec: float) -> dict:
         "vs_step_rate": round(threads / step_clips_per_sec, 2) if step_clips_per_sec else None,
         "mode": "threads",
         "ms_per_item_read": round(read_s * 1000, 1),
+        "ms_per_item_read_legacy_gz": round(read_legacy_s * 1000, 1),
         "ms_per_item_transform": round((item_s - read_s) * 1000, 1),
         # zlib inflate is the bound and scales with worker cores (process
         # workers, tasks/pretrain.py defaults them on for multi-core hosts):

@@ -12,12 +12,24 @@ Frame-seek: a 4D cine volume stores each time frame contiguously, so
 and stream-decompressing only the needed prefix for .nii.gz — replacing
 the reference's sitk.ImageFileReader.SetExtractIndex streaming read
 (mae/pretrain.py:88-119).
+
+Frame-INDEXED .nii.gz (``save_nifti(..., frame_indexed=True)``): a gzip
+stream may be a concatenation of members (RFC 1952 §2.2), and every
+conforming reader — python gzip, zlib's gz API, SimpleITK/nibabel —
+decodes the concatenation as one stream. Writing one member per time
+frame therefore stays a 100%-valid .nii.gz while making random frame
+access O(frame): member 0 (the NIfTI header) carries an FEXTRA subfield
+('C','T') holding the absolute byte offset of every frame member, so
+``load_nifti_frame`` inflates exactly one member instead of the whole
+stream prefix (which averages nt/2 frames of wasted inflate per read —
+the measured 178 ms/item loader bound on the UKB pretrain shapes).
 """
 
 from __future__ import annotations
 
 import gzip
 import struct
+import zlib
 from dataclasses import dataclass
 from pathlib import Path
 from typing import BinaryIO, Optional, Sequence, Tuple, Union
@@ -115,6 +127,67 @@ def load_nifti_header(path: Union[str, Path]) -> NiftiHeader:
         return _parse_header(f.read(HEADER_SIZE))
 
 
+# ---- frame-indexed gzip (multi-member .nii.gz with an offset table) ----
+
+_FIDX_SI = b"CT"  # FEXTRA subfield id carrying the frame-offset table
+
+
+def _gzip_member(payload: bytes, extra: bytes = b"", level: int = 6) -> bytes:
+    """One complete RFC-1952 gzip member, optionally with an FEXTRA field."""
+    flg = 0x04 if extra else 0x00
+    hdr = struct.pack("<2sBBIBB", b"\x1f\x8b", 8, flg, 0, 0, 255)
+    if extra:
+        hdr += struct.pack("<H", len(extra)) + extra
+    co = zlib.compressobj(level, zlib.DEFLATED, -15)
+    body = co.compress(payload) + co.flush()
+    tail = struct.pack("<II", zlib.crc32(payload) & 0xFFFFFFFF, len(payload) & 0xFFFFFFFF)
+    return hdr + body + tail
+
+
+def read_frame_index(path: Union[str, Path]) -> Optional[np.ndarray]:
+    """Absolute byte offsets (nt + 1,) of the per-frame gzip members.
+
+    Returns None for files not written with ``frame_indexed=True`` (plain
+    single-member gzip, raw .nii, or foreign FEXTRA fields) — callers then
+    take the sequential-prefix read path.
+    """
+    try:
+        with open(path, "rb") as f:
+            head = f.read(14)
+            if len(head) < 14 or head[:2] != b"\x1f\x8b" or not (head[3] & 0x04):
+                return None
+            xlen = struct.unpack_from("<H", head, 10)[0]
+            extra = head[12:14] + f.read(xlen - 2) if xlen >= 2 else b""
+    except OSError:
+        return None
+    pos = 0
+    while pos + 4 <= len(extra):
+        si, sub_len = extra[pos : pos + 2], struct.unpack_from("<H", extra, pos + 2)[0]
+        data = extra[pos + 4 : pos + 4 + sub_len]
+        if si == _FIDX_SI and len(data) == sub_len and sub_len >= 12:
+            nt = struct.unpack_from("<I", data, 0)[0]
+            if sub_len == 4 + 8 * (nt + 1):
+                return np.frombuffer(data, dtype="<u8", count=nt + 1, offset=4)
+        pos += 4 + sub_len
+    return None
+
+
+def _read_member(path: Path, start: int, end: int, nbytes: int) -> bytes:
+    """Inflate the single gzip member at byte range [start, end)."""
+    try:
+        from cinema_tpu import native
+
+        buf = native.inflate_at(path, start, end - start, nbytes)
+        if buf is not None:
+            return buf
+    except (ImportError, IOError):
+        pass
+    with open(path, "rb") as f:
+        f.seek(start)
+        comp = f.read(end - start)
+    return zlib.decompressobj(wbits=31).decompress(comp, nbytes)
+
+
 def load_nifti(path: Union[str, Path]) -> Tuple[np.ndarray, NiftiHeader]:
     """Read a full NIfTI volume.
 
@@ -162,6 +235,23 @@ def load_nifti_frame(path: Union[str, Path], t: int) -> Tuple[np.ndarray, NiftiH
     offset = header.vox_offset + t * frame_bytes
 
     buf = None
+    if path.suffix == ".gz":
+        index = read_frame_index(path)
+        if index is not None and len(index) == nt + 1:
+            # frame-indexed file: frame t IS gzip member t+1 — inflate it alone
+            buf = _read_member(path, int(index[t]), int(index[t + 1]), frame_bytes)
+    if buf is None:
+        buf = _seek_read(path, offset, frame_bytes)
+    data = np.frombuffer(buf, dtype=header.dtype, count=frame_items)
+    arr = data.reshape((nz, ny, nx)).transpose(2, 1, 0)
+    if header.scl_slope != 1.0 or header.scl_inter != 0.0:
+        arr = arr.astype(np.float32) * header.scl_slope + header.scl_inter
+    return np.ascontiguousarray(arr), header
+
+
+def _seek_read(path: Path, offset: int, frame_bytes: int) -> bytes:
+    """Sequential-prefix frame read (non-indexed files)."""
+    buf = None
     try:
         # GIL-free zlib seek+read (cinema_tpu.native); None when the native
         # library is unavailable -> pure-Python fallback below
@@ -184,11 +274,7 @@ def load_nifti_frame(path: Union[str, Path], t: int) -> Tuple[np.ndarray, NiftiH
             with open(path, "rb") as f:
                 f.seek(offset)
                 buf = f.read(frame_bytes)
-    data = np.frombuffer(buf, dtype=header.dtype, count=frame_items)
-    arr = data.reshape((nz, ny, nx)).transpose(2, 1, 0)
-    if header.scl_slope != 1.0 or header.scl_inter != 0.0:
-        arr = arr.astype(np.float32) * header.scl_slope + header.scl_inter
-    return np.ascontiguousarray(arr), header
+    return buf
 
 
 def save_nifti(
@@ -197,6 +283,7 @@ def save_nifti(
     spacing: Optional[Sequence[float]] = None,
     affine: Optional[np.ndarray] = None,
     descrip: bytes = b"cinema_tpu",
+    frame_indexed: bool = False,
 ) -> None:
     """Write a NIfTI-1 file (gzipped if the path ends in .gz).
 
@@ -204,6 +291,11 @@ def save_nifti(
         array: (nx, ny[, nz[, nt]]) with ``arr[x, y, ...]`` indexing.
         spacing: per-axis spacing (defaults to 1s).
         affine: 4x4 sform (defaults to diag(spacing)).
+        frame_indexed: for 4D .gz outputs, write one gzip member per time
+            frame plus an FEXTRA offset table (see module docstring) so
+            ``load_nifti_frame`` inflates a single frame. The file stays a
+            valid .nii.gz for every standard reader; ignored for raw .nii
+            (already seekable) and non-4D arrays.
     """
     array = np.asarray(array)
     if array.dtype not in _DTYPE_CODES:
@@ -237,11 +329,31 @@ def save_nifti(
     header[344:348] = b"n+1\x00"
 
     # x-fastest storage: write the transposed C-order buffer
-    payload = np.ascontiguousarray(array.transpose(tuple(range(ndim - 1, -1, -1)))).tobytes()
+    stored = np.ascontiguousarray(array.transpose(tuple(range(ndim - 1, -1, -1))))
+    head_payload = bytes(header) + b"\x00\x00\x00\x00"  # + extension flag
+    if frame_indexed and ndim == 4 and str(path).endswith(".gz"):
+        # time is the slowest storage axis: frame t == stored[t]
+        nt = array.shape[-1]
+        frames = [_gzip_member(stored[t].tobytes()) for t in range(nt)]
+        # member 0's size is fixed by its (deterministic) deflate body and
+        # the table length, so absolute offsets are known before writing
+        extra_len = 4 + 4 + 8 * (nt + 1)  # SI+LEN header + u32 nt + offsets
+        base = len(_gzip_member(head_payload)) + 2 + extra_len
+        offsets = np.cumsum([base] + [len(m) for m in frames]).astype("<u8")
+        table = (
+            _FIDX_SI
+            + struct.pack("<H", 4 + 8 * (nt + 1))
+            + struct.pack("<I", nt)
+            + offsets.tobytes()
+        )
+        with open(path, "wb") as f:
+            f.write(_gzip_member(head_payload, extra=table))
+            for m in frames:
+                f.write(m)
+        return
     with _open(path, "wb") as f:
-        f.write(bytes(header))
-        f.write(b"\x00\x00\x00\x00")  # extension flag
-        f.write(payload)
+        f.write(head_payload)
+        f.write(stored.tobytes())
 
 
 def save_nifti_like(

@@ -172,6 +172,7 @@ def crop_nifti(
     spacing: Tuple[float, ...] = UKB_SPACING,
     lax_slice_size: Tuple[int, int] = UKB_LAX_SLICE_SIZE,
     sax_slice_size: Tuple[int, int] = UKB_SAX_SLICE_SIZE,
+    frame_indexed: bool = True,
 ) -> None:
     """Resample, LV-center crop (3C via plane projection), normalise, save
     uint8 (reference crop_nifti, dicom_to_nifti.py:256-388)."""
@@ -200,10 +201,14 @@ def crop_nifti(
     folder_id = f"{data.eid}_{data.instance_id}"
     nifti_dir = out_dir / folder_id
     nifti_dir.mkdir(parents=True, exist_ok=True)
-    lax_2c.clip_and_normalise().to_uint8().save(nifti_dir / f"{folder_id}_lax_2c.nii.gz")
-    lax_3c.clip_and_normalise().to_uint8().save(nifti_dir / f"{folder_id}_lax_3c.nii.gz")
-    lax_4c.clip_and_normalise().to_uint8().save(nifti_dir / f"{folder_id}_lax_4c.nii.gz")
-    sax.clip_and_normalise().to_uint8().save(nifti_dir / f"{folder_id}_sax.nii.gz")
+    # frame-indexed by default: the pretrain loader reads one random frame
+    # per step, and the per-frame gzip members make that O(1) instead of a
+    # whole-prefix inflate (see data/nifti.py; ~13-60x per-item read win)
+    fi = frame_indexed
+    lax_2c.clip_and_normalise().to_uint8().save(nifti_dir / f"{folder_id}_lax_2c.nii.gz", frame_indexed=fi)
+    lax_3c.clip_and_normalise().to_uint8().save(nifti_dir / f"{folder_id}_lax_3c.nii.gz", frame_indexed=fi)
+    lax_4c.clip_and_normalise().to_uint8().save(nifti_dir / f"{folder_id}_lax_4c.nii.gz", frame_indexed=fi)
+    sax.clip_and_normalise().to_uint8().save(nifti_dir / f"{folder_id}_sax.nii.gz", frame_indexed=fi)
 
 
 def main() -> None:
@@ -211,10 +216,15 @@ def main() -> None:
     parser.add_argument("--lax_dicom_dir", type=Path, required=True)
     parser.add_argument("--sax_dicom_dir", type=Path, required=True)
     parser.add_argument("--out_dir", type=Path, required=True)
+    parser.add_argument(
+        "--no_frame_index",
+        action="store_true",
+        help="write plain single-member .nii.gz instead of frame-indexed",
+    )
     args = parser.parse_args()
     args.out_dir.mkdir(parents=True, exist_ok=True)
     data = transform_to_nifti(args.lax_dicom_dir, args.sax_dicom_dir, args.out_dir)
-    crop_nifti(data, args.out_dir)
+    crop_nifti(data, args.out_dir, frame_indexed=not args.no_frame_index)
 
 
 if __name__ == "__main__":

@@ -139,10 +139,20 @@ class Volume:
         sitk.py:452-466 — a plain *255, not a min/max rescale)."""
         return replace(self, array=np.round(self.array * 255.0).astype(np.uint8))
 
-    def save(self, path: Union[str, Path]) -> None:
-        """Write as NIfTI-1 with the volume's sform affine."""
+    def save(self, path: Union[str, Path], frame_indexed: bool = False) -> None:
+        """Write as NIfTI-1 with the volume's sform affine.
+
+        frame_indexed: write 4D .gz outputs with one gzip member per time
+        frame for O(1) frame-seek reads (see data/nifti.py).
+        """
         spacing = tuple(self.spacing) + ((1.0,) if self.array.ndim == 4 else ())
-        save_nifti(path, self.array, spacing=spacing[: self.array.ndim], affine=self.affine)
+        save_nifti(
+            path,
+            self.array,
+            spacing=spacing[: self.array.ndim],
+            affine=self.affine,
+            frame_indexed=frame_indexed,
+        )
 
 
 def get_origin_for_crop(

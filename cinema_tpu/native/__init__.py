@@ -96,6 +96,14 @@ def _load() -> Optional[ctypes.CDLL]:
         ctypes.POINTER(ctypes.c_ubyte),
     ]
     lib.ct_read_at.restype = ctypes.c_int
+    lib.ct_inflate_at.argtypes = [
+        ctypes.c_char_p,
+        ctypes.c_int64,
+        ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_ubyte),
+        ctypes.c_int64,
+    ]
+    lib.ct_inflate_at.restype = ctypes.c_int
     lib.ct_read_at_batch.argtypes = [
         ctypes.c_int64,
         ctypes.POINTER(ctypes.c_char_p),
@@ -152,6 +160,27 @@ def read_at(path, offset: int, nbytes: int) -> Optional[np.ndarray]:
     )
     if rc != 0:
         raise IOError(f"ct_read_at({path}, {offset}, {nbytes}) failed with code {rc}.")
+    return buf
+
+
+def inflate_at(path, offset: int, clen: int, nbytes: int) -> Optional[np.ndarray]:
+    """Inflate one gzip member at byte range [offset, offset+clen) — the
+    frame-indexed .nii.gz fast path (no sequential skip over earlier
+    members). Returns a uint8 buffer, or None when native is unavailable.
+    """
+    lib = _load()
+    if lib is None:
+        return None
+    buf = np.empty(nbytes, dtype=np.uint8)
+    rc = lib.ct_inflate_at(
+        str(path).encode(),
+        offset,
+        clen,
+        buf.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
+        nbytes,
+    )
+    if rc != 0:
+        raise IOError(f"ct_inflate_at({path}, {offset}, {clen}) failed with code {rc}.")
     return buf
 
 

@@ -17,6 +17,7 @@
 // (zlib checks the magic), matching the .nii / .nii.gz duality.
 
 #include <cstdint>
+#include <cstdio>
 #include <cstring>
 #include <thread>
 #include <vector>
@@ -106,6 +107,34 @@ int ct_read_at(const char* path, int64_t offset, int64_t nbytes, unsigned char* 
   }
   gzclose(f);
   return CT_OK;
+}
+
+// Inflate ONE gzip member located at byte range [offset, offset+clen) of
+// the file — the frame-indexed .nii.gz fast path (data/nifti.py writes one
+// member per time frame with an FEXTRA offset table). pread + inflate only;
+// no sequential skip over earlier members.
+int ct_inflate_at(const char* path, int64_t offset, int64_t clen,
+                  unsigned char* out, int64_t nbytes) {
+  FILE* fp = std::fopen(path, "rb");
+  if (fp == nullptr) return CT_ERR_OPEN;
+  std::vector<unsigned char> comp((size_t)clen);
+  if (std::fseek(fp, (long)offset, SEEK_SET) != 0 ||
+      std::fread(comp.data(), 1, (size_t)clen, fp) != (size_t)clen) {
+    std::fclose(fp);
+    return CT_ERR_READ;
+  }
+  std::fclose(fp);
+  z_stream strm;
+  std::memset(&strm, 0, sizeof(strm));
+  if (inflateInit2(&strm, 31) != Z_OK) return CT_ERR_READ;  // 31: gzip wrapper
+  strm.next_in = comp.data();
+  strm.avail_in = (uInt)clen;
+  strm.next_out = out;
+  strm.avail_out = (uInt)nbytes;
+  int rc = inflate(&strm, Z_FINISH);
+  int64_t got = (int64_t)strm.total_out;
+  inflateEnd(&strm);
+  return (rc == Z_STREAM_END && got == nbytes) ? CT_OK : CT_ERR_READ;
 }
 
 int ct_read_at_batch(int64_t n, const char** paths, const int64_t* offsets,

@@ -60,6 +60,94 @@ def test_nifti_frame_seek(tmp_path, suffix):
         load_nifti_frame(path, -1)
 
 
+def test_nifti_frame_indexed_round_trip(tmp_path):
+    """frame_indexed=True writes one gzip member per frame + an FEXTRA
+    offset table: still a valid .nii.gz end-to-end, identical full-volume
+    and per-frame reads, and the index resolves every member boundary."""
+    import gzip
+
+    from cinema_tpu.data.nifti import read_frame_index
+
+    rng = np.random.default_rng(2)
+    arr = (rng.uniform(0, 255, size=(19, 17, 3, 11))).astype(np.uint8)
+    path = tmp_path / "cine.nii.gz"
+    save_nifti(path, arr, spacing=(1.0, 1.0, 10.0, 1.0), frame_indexed=True)
+
+    # any standard gzip reader sees one concatenated stream
+    with gzip.open(path, "rb") as f:
+        assert len(f.read()) == 348 + 4 + arr.size
+
+    back, header = load_nifti(path)
+    np.testing.assert_array_equal(back, arr)
+    assert header.shape == arr.shape
+
+    index = read_frame_index(path)
+    assert index is not None and len(index) == arr.shape[-1] + 1
+    assert int(index[-1]) == path.stat().st_size
+    for t in [0, 5, 10]:
+        frame, _ = load_nifti_frame(path, t)
+        np.testing.assert_array_equal(frame, arr[..., t])
+
+    # python-only member inflate (native unavailable) must agree
+    import cinema_tpu.data.nifti as nifti_mod
+
+    orig = nifti_mod.native.inflate_at if hasattr(nifti_mod, "native") else None
+    from cinema_tpu import native
+
+    real = native.inflate_at
+    try:
+        native.inflate_at = lambda *a, **k: None
+        frame, _ = load_nifti_frame(path, 7)
+        np.testing.assert_array_equal(frame, arr[..., 7])
+    finally:
+        native.inflate_at = real
+
+
+def test_nifti_frame_indexed_ignored_for_plain_paths(tmp_path):
+    """frame_indexed is a no-op for raw .nii (already seekable) and 3D."""
+    from cinema_tpu.data.nifti import read_frame_index
+
+    arr = np.arange(2 * 3 * 4 * 5, dtype=np.int16).reshape(2, 3, 4, 5)
+    raw = tmp_path / "cine.nii"
+    save_nifti(raw, arr, frame_indexed=True)
+    back, _ = load_nifti(raw)
+    np.testing.assert_array_equal(back, arr)
+    assert read_frame_index(raw) is None
+
+    vol3 = tmp_path / "vol.nii.gz"
+    save_nifti(vol3, arr[..., 0], frame_indexed=True)
+    assert read_frame_index(vol3) is None
+    np.testing.assert_array_equal(load_nifti(vol3)[0], arr[..., 0])
+
+
+def test_reindex_cli_round_trip(tmp_path):
+    """cinema_reindex_nifti rewrites legacy 4D .nii.gz in place with
+    identical voxels/geometry and skips already-indexed + non-4D files."""
+    from cinema_tpu.data.nifti import read_frame_index
+    from cinema_tpu.data.preprocess.reindex import main, reindex_file
+
+    rng = np.random.default_rng(3)
+    arr = (rng.uniform(0, 255, size=(12, 10, 2, 7))).astype(np.uint8)
+    p4 = tmp_path / "s01" / "s01_sax_t.nii.gz"
+    p4.parent.mkdir()
+    save_nifti(p4, arr, spacing=(1.0, 1.25, 10.0, 1.0))
+    p3 = tmp_path / "s01" / "s01_sax_ed.nii.gz"
+    save_nifti(p3, arr[..., 0])
+
+    import sys
+    from unittest import mock
+
+    with mock.patch.object(sys, "argv", ["x", "--data_dir", str(tmp_path)]):
+        main()
+
+    assert read_frame_index(p4) is not None
+    back, header = load_nifti(p4)
+    np.testing.assert_array_equal(back, arr)
+    np.testing.assert_allclose(header.spacing, (1.0, 1.25, 10.0, 1.0), rtol=1e-6)
+    assert read_frame_index(p3) is None  # 3D untouched
+    assert reindex_file(p4) == "skip:already-indexed"
+
+
 def test_nifti_frame_requires_4d(tmp_path):
     save_nifti(tmp_path / "v.nii", np.zeros((4, 4, 4), np.float32))
     with pytest.raises(ValueError, match="4D"):

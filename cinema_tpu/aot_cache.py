@@ -1,0 +1,133 @@
+"""AOT-serialized executable cache: fresh-process warm starts.
+
+The reference pays zero compile (eager torch); our jitted ViT-base train
+step costs 2+ minutes of XLA+Mosaic compile per process. JAX's persistent
+compilation cache cannot help on the axon relay backend (its compile-env
+fingerprint is per-session, so a fresh process NEVER hits —
+``compile_cache.py``/KERNEL_NOTES), so this module sidesteps the
+fingerprint entirely: it serializes the compiled executable itself
+(``jax.experimental.serialize_executable``) keyed on a hash of the lowered
+StableHLO + jax version + device kind, and loads it back in any later
+process with the same program.
+
+The StableHLO hash makes staleness structural rather than heuristic: any
+code/shape/dtype/flag change that alters the lowered program changes the
+key. Lowering (tracing) costs seconds; compiling costs minutes — the cache
+trades the former for the latter.
+
+Usage:
+    compiled = cached_compile(jax.jit(step), state, batch, key)
+    out = compiled(state, batch, key)
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import pickle
+from pathlib import Path
+from typing import Any, Optional, Tuple
+
+from cinema_tpu.log import get_logger
+
+logger = get_logger(__name__)
+
+
+def _cache_dir(cache_dir: Optional[str] = None) -> Optional[Path]:
+    env = os.environ.get("CINEMA_TPU_AOT_CACHE", "")
+    if env == "0":
+        return None
+    return Path(cache_dir or env or "~/.cache/cinema_tpu/aot").expanduser()
+
+
+def _env_tag() -> str:
+    """Compile-environment components of the key (device + software)."""
+    import jax
+
+    dev = jax.devices()[0]
+    return f"{jax.__version__}|{dev.platform}|{getattr(dev, 'device_kind', '')}"
+
+
+def lowered_key(lowered: Any) -> str:
+    """Cache key: sha256 of the lowered StableHLO + environment tag."""
+    h = hashlib.sha256(_env_tag().encode())
+    h.update(lowered.as_text().encode())
+    return h.hexdigest()[:24]
+
+
+def load_compiled(key: str, cache_dir: Optional[str] = None) -> Optional[Any]:
+    """Deserialize a cached executable, or None (miss / disabled / error)."""
+    base = _cache_dir(cache_dir)
+    if base is None:
+        return None
+    path = base / f"{key}.aot"
+    if not path.exists():
+        return None
+    try:
+        import jax
+        from jax.experimental import serialize_executable
+
+        payload, in_tree, out_tree, device_ids = pickle.loads(path.read_bytes())
+        # pin the execution devices the executable was compiled for —
+        # deserialize otherwise binds ALL local devices and a single-device
+        # program then rejects its unsharded args
+        by_id = {d.id: d for d in jax.local_devices()}
+        devices = [by_id[i] for i in device_ids]
+        compiled = serialize_executable.deserialize_and_load(
+            payload, in_tree, out_tree, execution_devices=devices
+        )
+        logger.info(f"AOT cache hit: {path} ({path.stat().st_size >> 20} MB).")
+        return compiled
+    except Exception as e:  # stale jax/runtime: recompile, don't crash
+        logger.warning(f"AOT cache load failed ({e}); recompiling.")
+        try:
+            path.unlink()
+        except OSError:
+            pass
+        return None
+
+
+def store_compiled(key: str, compiled: Any, cache_dir: Optional[str] = None) -> Optional[Path]:
+    """Serialize an executable into the cache; returns the path or None."""
+    base = _cache_dir(cache_dir)
+    if base is None:
+        return None
+    try:
+        from jax.experimental import serialize_executable
+
+        payload, in_tree, out_tree = serialize_executable.serialize(compiled)
+        device_ids = [
+            d.id for d in compiled._executable.xla_extension_executable().local_devices()
+        ]
+        base.mkdir(parents=True, exist_ok=True)
+        path = base / f"{key}.aot"
+        tmp = base / f"{key}.{os.getpid()}.tmp"
+        tmp.write_bytes(pickle.dumps((payload, in_tree, out_tree, device_ids)))
+        os.replace(tmp, path)  # atomic: concurrent readers never see partials
+        logger.info(f"AOT cache store: {path} ({path.stat().st_size >> 20} MB).")
+        return path
+    except Exception as e:  # serialization unsupported on this backend
+        logger.warning(f"AOT cache store failed ({e}).")
+        return None
+
+
+def cached_compile(
+    jitted: Any,
+    *args: Any,
+    cache_dir: Optional[str] = None,
+    _stats: Optional[dict] = None,
+) -> Any:
+    """``jitted.lower(*args).compile()`` with the executable cache around it.
+
+    ``_stats`` (if given) receives {"key", "hit": bool} for benchmarking.
+    """
+    lowered = jitted.lower(*args)
+    key = lowered_key(lowered)
+    compiled = load_compiled(key, cache_dir)
+    hit = compiled is not None
+    if compiled is None:
+        compiled = lowered.compile()
+        store_compiled(key, compiled, cache_dir)
+    if _stats is not None:
+        _stats.update(key=key, hit=hit)
+    return compiled

@@ -340,6 +340,63 @@ def zfold_weight(w: jnp.ndarray, z: int) -> jnp.ndarray:
     return out
 
 
+def partial_fold_group(z: int, ci: int, co: int, kz: int, batch: int = 8) -> int:
+    """Fold group g for a z-folded conv: the z axis folds into channels by
+    the smallest divisor g of z filling a 128-lane tile on BOTH operands,
+    with the leftover z/g kept as a real (3-tap) spatial dim.
+
+    Returns z (the full-Z band / block-diagonal — the round-3 kernel) when
+    no smaller g pays: the partial fold's FLOP redundancy is g (vs Z/3 for
+    the 3x3x3 band and Z for the 1x1x1 block-diagonal), so it needs
+    g*min(ci,co) >= 128 AND, for banded kernels, 3*g <= z. Measured on v5e
+    at (8,192,192,16,32): band 11.16 ms vs g=4 fold 9.13 ms (-18%), equal
+    numerics; g=2 (64 lanes) loses, g=8 redundancy loses to the band.
+
+    Batch-gated at >= 8: the same fold LOSES end-to-end at the
+    sliding-window shape (B=2: p50 83.7 -> 89.1 ms) while winning serving
+    (B=8 chunks: 44.3 -> 48.5 frames/s), both measured on v5e 2026-08-19 —
+    small batches keep the measured-better band (also the round-4 behavior
+    for the untimed B=4 fine-tune shape).
+    """
+    import os
+
+    if min(ci, co) <= 0 or batch < 8 or os.environ.get("CINEMA_TPU_GFOLD", "1") == "0":
+        return z
+    need = -(-128 // min(ci, co))  # ceil
+    for g in range(need, z):
+        if z % g != 0:
+            continue
+        if kz > 1 and kz * g > z:
+            break  # band is cheaper from here on
+        return g
+    return z
+
+
+def gfold_weight(w: jnp.ndarray, z: int, g: int) -> jnp.ndarray:
+    """(kx,ky,kz,Ci,Co) kernel -> (kx,ky,kz',g*Ci,g*Co) partial-fold kernel.
+
+    z folds into channels by groups of g (layout (..., z/g, g*C)); the
+    surviving z' axis needs kz' = 3 taps when kz == 3 (a tap can cross one
+    group boundary), 1 when kz == 1. Entry (dz', b*Ci+ci, a*Co+co) is
+    w[..., dz'*g + b - a + kz//2] when that original tap exists, else 0;
+    the z boundary is exact (SAME-padded z' groups are entirely zero).
+    ``g == z`` degenerates to ``zfold_weight`` with a size-1 z' axis.
+    """
+    kx, ky, kz, ci, co = w.shape
+    half = kz // 2
+    kzp = 3 if kz == 3 else 1
+    out = jnp.zeros((kx, ky, kzp, g * ci, g * co), w.dtype)
+    for dzp in range(-(kzp // 2), kzp // 2 + 1):
+        for b in range(g):
+            for a in range(g):
+                dz = dzp * g + b - a
+                if -half <= dz <= half:
+                    out = out.at[
+                        :, :, dzp + kzp // 2, b * ci : (b + 1) * ci, a * co : (a + 1) * co
+                    ].set(w[:, :, dz + half])
+    return out
+
+
 class _ZFoldConv3(nn.Module):
     """nn.Conv-compatible 3x3x3 SAME conv as a z-folded banded 2D conv.
 
@@ -377,16 +434,36 @@ class _ZFoldConv3(nn.Module):
             (*self.kernel_size, ci, self.features),
             jnp.float32,
         )
-        w2 = zfold_weight(w.astype(self.dtype), z)
-        out = jax.lax.conv_general_dilated(
-            x2,
-            w2,
-            window_strides=(1, 1),
-            padding="SAME",
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        )
-        if folded_z is None:
-            out = out.reshape(batch, xs, ys, z, self.features)
+        g = partial_fold_group(z, ci, self.features, self.kernel_size[2], batch)
+        if g < z:
+            # partial fold: (B,X,Y,Z*Ci) -> (B,X,Y,Z/g,g*Ci) is a minor-dim
+            # split (fuses into the conv's input read); the surviving z'
+            # axis is a real 3-tap (or 1-tap) spatial dim, cutting the FLOP
+            # redundancy from Z/3 (band) to g at the same full-lane tiling
+            wg = gfold_weight(w.astype(self.dtype), z, g)
+            out = jax.lax.conv_general_dilated(
+                x2.reshape(batch, xs, ys, z // g, g * ci),
+                wg,
+                window_strides=(1, 1, 1),
+                padding="SAME",
+                dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+            )
+            out = out.reshape(
+                (batch, xs, ys, z, self.features)
+                if folded_z is None
+                else (batch, xs, ys, z * self.features)
+            )
+        else:
+            w2 = zfold_weight(w.astype(self.dtype), z)
+            out = jax.lax.conv_general_dilated(
+                x2,
+                w2,
+                window_strides=(1, 1),
+                padding="SAME",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+            if folded_z is None:
+                out = out.reshape(batch, xs, ys, z, self.features)
         if self.use_bias:
             b = self.param("bias", torch_default_bias_init(self.fan_in), (self.features,), jnp.float32)
             bt = jnp.tile(b, z) if folded_z is not None else b

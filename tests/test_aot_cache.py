@@ -1,0 +1,100 @@
+"""AOT executable cache: serialize a compiled step, reload it in a FRESH
+process, and get identical outputs without recompiling.
+
+This is the fresh-process warm-start path for the axon relay backend,
+where JAX's persistent compilation cache can never hit (per-session
+compile-env fingerprint — see cinema_tpu/compile_cache.py). Keys are
+hashes of the lowered StableHLO, so any program change invalidates
+structurally.
+"""
+
+import os
+import subprocess
+import sys
+from pathlib import Path
+
+import numpy as np
+
+REPO = Path(__file__).parent.parent
+
+_PROG = """
+import sys
+sys.path.insert(0, {repo!r})
+import jax
+jax.config.update("jax_platforms", "cpu")
+import jax.numpy as jnp
+from cinema_tpu.aot_cache import cached_compile
+
+@jax.jit
+def f(x, y):
+    return jnp.tanh(x @ y) * 2.0, {{"s": jnp.sum(x) + jnp.sum(y)}}
+
+x = jnp.full((64, 64), 0.25)
+y = jnp.full((64, 64), 0.5)
+stats = {{}}
+compiled = cached_compile(f, x, y, cache_dir={cache!r}, _stats=stats)
+out, aux = compiled(x, y)
+print("HIT" if stats["hit"] else "MISS", float(out[0, 0]), float(aux["s"]))
+"""
+
+
+def _run(cache_dir: Path) -> str:
+    env = dict(os.environ, JAX_PLATFORMS="cpu", CINEMA_TPU_AOT_CACHE="")
+    prog = _PROG.format(repo=str(REPO), cache=str(cache_dir))
+    res = subprocess.run(
+        [sys.executable, "-c", prog], check=True, env=env, capture_output=True, text=True
+    )
+    return res.stdout.strip().splitlines()[-1]
+
+def test_fresh_process_loads_serialized_executable(tmp_path):
+    cache = tmp_path / "aot"
+    first = _run(cache)
+    assert first.startswith("MISS"), first
+    assert list(cache.glob("*.aot")), "first process must store the executable"
+    second = _run(cache)
+    assert second.startswith("HIT"), second
+    # identical numerics through the deserialized executable
+    assert first.split()[1:] == second.split()[1:]
+
+
+def test_key_changes_with_program(tmp_path):
+    from cinema_tpu.aot_cache import lowered_key
+
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+
+    @jax.jit
+    def f(x):
+        return x * 2
+
+    @jax.jit
+    def g(x):
+        return x * 3
+
+    x = jnp.ones((8, 8))
+    assert lowered_key(f.lower(x)) != lowered_key(g.lower(x))
+    assert lowered_key(f.lower(x)) != lowered_key(f.lower(jnp.ones((4, 4))))
+    assert lowered_key(f.lower(x)) == lowered_key(f.lower(x))
+
+
+def test_corrupt_cache_entry_recompiles(tmp_path):
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+
+    from cinema_tpu.aot_cache import cached_compile, lowered_key
+
+    @jax.jit
+    def f(x):
+        return jnp.sum(x * 1.5)
+
+    x = jnp.ones((16, 16))
+    key = lowered_key(f.lower(x))
+    (tmp_path / f"{key}.aot").write_bytes(b"not a pickle")
+    stats = {}
+    compiled = cached_compile(f, x, cache_dir=str(tmp_path), _stats=stats)
+    assert not stats["hit"]
+    assert float(compiled(x)) == 16 * 16 * 1.5

@@ -111,6 +111,24 @@ def store_compiled(key: str, compiled: Any, cache_dir: Optional[str] = None) -> 
         return None
 
 
+def aot_or_jit(jitted: Any, *args: Any) -> Any:
+    """``cached_compile`` with a fall-through: returns the plain jitted
+    callable when the cache is disabled (``CINEMA_TPU_AOT=0``), in
+    multi-process runs (device-id remapping across hosts is not supported),
+    or on any serialization error — training loops call this once with the
+    first batch and use the result for every step.
+    """
+    import jax
+
+    if os.environ.get("CINEMA_TPU_AOT", "1") == "0" or jax.process_count() > 1:
+        return jitted
+    try:
+        return cached_compile(jitted, *args)
+    except Exception as e:
+        logger.warning(f"AOT compile-or-load failed ({e}); using plain jit.")
+        return jitted
+
+
 def cached_compile(
     jitted: Any,
     *args: Any,

@@ -192,6 +192,7 @@ def run(config: Config) -> None:
         logger.info(f"Resumed from {ckpt} at epoch {start_epoch}.")
 
     rng = jax.random.PRNGKey(config.seed)
+    first_step = True
     for epoch in range(start_epoch, config.train.n_epochs):
         t0 = time.perf_counter()
         losses = []
@@ -204,6 +205,14 @@ def run(config: Config) -> None:
 
         # two-deep host->HBM prefetch overlaps input transfer with the step
         for device_batch in device_prefetch(iter(loader), put, depth=2):
+            if first_step:
+                # AOT executable cache: relaunches of the same program load
+                # the serialized step instead of recompiling (minutes);
+                # multi-process runs fall through to plain jit inside
+                from cinema_tpu.aot_cache import aot_or_jit
+
+                step_fn = aot_or_jit(step_fn, state, device_batch, rng)
+                first_step = False
             state, metrics = step_fn(state, device_batch, rng)
             losses.append(metrics["loss"])
         epoch_loss = float(np.mean([float(x) for x in losses])) if losses else float("nan")

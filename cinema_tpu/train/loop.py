@@ -287,6 +287,7 @@ def run_train(
 
     retention = CheckpointRetention(config.train.max_n_ckpts)
     saved_any = False
+    first_step = True
 
     import jax.numpy as jnp
 
@@ -300,6 +301,13 @@ def run_train(
             return make_global_batch(arrays, batch_shardings(arrays, mesh))
 
         for device_batch in device_prefetch(iter(train_loader), put, depth=2):
+            if first_step:
+                # AOT executable cache: relaunches/sweeps of the same config
+                # load the serialized step instead of recompiling (minutes)
+                from cinema_tpu.aot_cache import aot_or_jit
+
+                step_fn = aot_or_jit(step_fn, state, device_batch, rng)
+                first_step = False
             state, metrics = step_fn(state, device_batch, rng)
             for k, v in metrics.items():
                 epoch_metrics.setdefault(k, []).append(v)

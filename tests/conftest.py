@@ -12,6 +12,11 @@ if "xla_force_host_platform_device_count" not in _flags:
     # read at backend init (lazily, later than this), so env is still in time
     os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
 
+# train loops consult the AOT executable cache on their first step; tests
+# must not read or pollute the user-level cache (tests that WANT the cache
+# pass an explicit cache_dir)
+os.environ.setdefault("CINEMA_TPU_AOT", "0")
+
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")

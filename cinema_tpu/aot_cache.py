@@ -113,14 +113,20 @@ def store_compiled(key: str, compiled: Any, cache_dir: Optional[str] = None) -> 
 
 def aot_or_jit(jitted: Any, *args: Any) -> Any:
     """``cached_compile`` with a fall-through: returns the plain jitted
-    callable when the cache is disabled (``CINEMA_TPU_AOT=0``), in
+    callable when the cache is disabled (``CINEMA_TPU_AOT=0``), on non-TPU
+    backends (XLA:CPU's AOT loader is unreliable inside long-lived
+    processes — deserialized executables can fail at buffer-materialization
+    time, past any fallback; set ``CINEMA_TPU_AOT=force`` to override), in
     multi-process runs (device-id remapping across hosts is not supported),
     or on any serialization error — training loops call this once with the
     first batch and use the result for every step.
     """
     import jax
 
-    if os.environ.get("CINEMA_TPU_AOT", "1") == "0" or jax.process_count() > 1:
+    mode = os.environ.get("CINEMA_TPU_AOT", "1")
+    if mode == "0" or jax.process_count() > 1:
+        return jitted
+    if mode != "force" and jax.default_backend() != "tpu":
         return jitted
     try:
         return cached_compile(jitted, *args)

@@ -598,26 +598,45 @@ class _ZFoldConvT(nn.Module):
             (*self.kernel_size, self.features, ci),
             jnp.float32,
         )
-        # (kx, ky, Z*out, Z*in) block-diag: [a*out+o, b*in+i] = w[..,0,o,i] iff a==b
         w0 = w[:, :, 0].astype(self.dtype)
-        eye = jnp.eye(z, dtype=self.dtype)
-        w2 = jnp.einsum("xyoi,ab->xyaobi", w0, eye).reshape(
-            *w0.shape[:2], z * self.features, z * ci
-        )
-        out = jax.lax.conv_transpose(
-            x2.astype(self.dtype),
-            w2,
-            strides=self.strides[:2],
-            padding="VALID",
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            transpose_kernel=True,
-        )
+        # block-diag over g z-groups instead of all Z: the z-identity
+        # transpose needs no cross-group taps at all, so the partial fold's
+        # only constraint is the 128-lane fill (g*min(ci,co) >= 128) and the
+        # redundancy drops from Z to g (the finest serving up-conv: 16x -> 4x)
+        g = partial_fold_group(z, ci, self.features, 1, x2.shape[0])
+        eye = jnp.eye(g, dtype=self.dtype)
+        if g < z:
+            wg = jnp.einsum("xyoi,ab->xyaobi", w0, eye).reshape(
+                *w0.shape[:2], 1, g * self.features, g * ci
+            )
+            b, xs, ys = x2.shape[:3]
+            out = jax.lax.conv_transpose(
+                x2.astype(self.dtype).reshape(b, xs, ys, z // g, g * ci),
+                wg,
+                strides=(*self.strides[:2], 1),
+                padding="VALID",
+                dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+                transpose_kernel=True,
+            )
+            out = out.reshape(b, out.shape[1], out.shape[2], z * self.features)
+        else:
+            w2 = jnp.einsum("xyoi,ab->xyaobi", w0, eye).reshape(
+                *w0.shape[:2], z * self.features, z * ci
+            )
+            out = jax.lax.conv_transpose(
+                x2.astype(self.dtype),
+                w2,
+                strides=self.strides[:2],
+                padding="VALID",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                transpose_kernel=True,
+            )
         if self.use_bias:
             fan_in = self.features * math.prod(self.kernel_size)
-            b = self.param(
+            b_p = self.param(
                 "bias", torch_default_bias_init(fan_in), (self.features,), jnp.float32
             )
-            out = out + jnp.tile(b.astype(out.dtype), z)
+            out = out + jnp.tile(b_p.astype(out.dtype), z)
         return out
 
 

@@ -79,65 +79,88 @@ def test_key_changes_with_program(tmp_path):
     assert lowered_key(f.lower(x)) == lowered_key(f.lower(x))
 
 
-def test_run_train_uses_aot_cache(tmp_path, monkeypatch):
-    """run_train's first step goes through aot_or_jit: a second identical run
-    must HIT the cache (one .aot entry, unchanged mtime) and train normally
-    on the 8-virtual-device mesh."""
-    import jax
-    import jax.numpy as jnp
-    from flax import linen as nn
+_TRAIN_PROG = """
+import sys
+sys.path.insert(0, {repo!r})
+import jax
+jax.config.update("jax_platforms", "cpu")
+import numpy as np
+import jax.numpy as jnp
+from flax import linen as nn
+from cinema_tpu.config import apply_overrides, load_config
+from cinema_tpu.train.loop import run_train
 
-    from cinema_tpu.config import apply_overrides, load_config
-    from cinema_tpu.train.loop import run_train
 
-    monkeypatch.setenv("CINEMA_TPU_AOT", "1")
-    monkeypatch.setenv("CINEMA_TPU_AOT_CACHE", str(tmp_path / "aot"))
+class _Data:
+    def __len__(self):
+        return 4
 
-    config_path = REPO / "cinema_tpu" / "configs" / "segmentation" / "acdc.yaml"
+    def __getitem__(self, i):
+        return {{"sax_image": np.full((4, 4, 1), float(i), np.float32)}}
 
-    class _Data:
-        def __len__(self):
-            return 4
 
-        def __getitem__(self, i):
-            return {"sax_image": np.full((4, 4, 1), float(i), np.float32)}
+class _Tiny(nn.Module):
+    @nn.compact
+    def __call__(self, images, deterministic=True):
+        return nn.Dense(2)(images["sax"].reshape(images["sax"].shape[0], -1))
 
-    class _Tiny(nn.Module):
-        @nn.compact
-        def __call__(self, images, deterministic=True):
-            return nn.Dense(2)(images["sax"].reshape(images["sax"].shape[0], -1))
 
-    def loss_fn(model, params, batch, rng):
-        out = model.apply(params, {"sax": jnp.asarray(batch["sax_image"])})
-        return jnp.mean(out**2), ({"loss": jnp.mean(out**2)}, {})
+def loss_fn(model, params, batch, rng):
+    out = model.apply(params, {{"sax": jnp.asarray(batch["sax_image"])}})
+    return jnp.mean(out**2), ({{"loss": jnp.mean(out**2)}}, {{}})
 
-    def run(log_dir):
-        overrides = [
+
+out = run_train(
+    apply_overrides(
+        load_config({repo!r} + "/cinema_tpu/configs/segmentation/acdc.yaml"),
+        [
             "train.batch_size=2",
             "train.batch_size_per_device=2",
             "train.n_epochs=1",
             "train.n_warmup_epochs=0",
             "train.eval_interval=1",
             "train.n_workers=1",
-            f"logging.dir={log_dir}",
-        ]
-        return run_train(
-            apply_overrides(load_config(config_path), overrides),
-            load_dataset=lambda c: (_Data(), _Data()),
-            get_model_fn=lambda c: _Tiny(),
-            loss_fn=loss_fn,
-            eval_dataloader_fn=lambda m, p, l, c: {"mean_dice_score": 0.5},
-        )
+            "logging.dir={log_dir}",
+        ],
+    ),
+    load_dataset=lambda c: (_Data(), _Data()),
+    get_model_fn=lambda c: _Tiny(),
+    loss_fn=loss_fn,
+    eval_dataloader_fn=lambda m, p, l, c: {{"mean_dice_score": 0.5}},
+)
+lines = (out / "metrics.jsonl").read_text().splitlines()
+assert any("train_loss" in line for line in lines), "run must train"
+print("TRAINED")
+"""
 
-    out1 = run(tmp_path / "runs1")
-    entries = sorted((p.name, p.stat().st_mtime_ns) for p in (tmp_path / "aot").glob("*.aot"))
+
+def test_run_train_uses_aot_cache(tmp_path):
+    """run_train's first step goes through aot_or_jit: a FRESH second process
+    (production relaunch semantics) must HIT the cache (one .aot entry,
+    unchanged mtime) and train normally. CINEMA_TPU_AOT=force because the
+    default engages the cache only on TPU backends."""
+    import subprocess
+
+    cache = tmp_path / "aot"
+    env = dict(
+        os.environ, CINEMA_TPU_AOT="force", CINEMA_TPU_AOT_CACHE=str(cache),
+        JAX_PLATFORMS="cpu",
+    )
+
+    def run(log_dir: str) -> None:
+        prog = _TRAIN_PROG.format(repo=str(REPO), log_dir=log_dir)
+        res = subprocess.run(
+            [sys.executable, "-c", prog], env=env, capture_output=True, text=True
+        )
+        assert res.returncode == 0, res.stderr[-2000:]
+        assert "TRAINED" in res.stdout
+
+    run(str(tmp_path / "runs1"))
+    entries = sorted((p.name, p.stat().st_mtime_ns) for p in cache.glob("*.aot"))
     assert entries, "first run must store the train-step executable"
-    out2 = run(tmp_path / "runs2")
-    after = sorted((p.name, p.stat().st_mtime_ns) for p in (tmp_path / "aot").glob("*.aot"))
+    run(str(tmp_path / "runs2"))
+    after = sorted((p.name, p.stat().st_mtime_ns) for p in cache.glob("*.aot"))
     assert after == entries, "second run must hit, not rewrite"
-    for out in (out1, out2):
-        lines = (out / "metrics.jsonl").read_text().splitlines()
-        assert any("train_loss" in line for line in lines)
 
 
 def test_corrupt_cache_entry_recompiles(tmp_path):

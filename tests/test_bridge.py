@@ -39,6 +39,19 @@ def _tiny_mae(views=("sax", "lax_2c")):
     )
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=2)
+def _cached_mae():
+    """One shared tiny-MAE init for the whole module: six tests used to pay
+    a full init compile each (~80 s of the suite on one core). Callers must
+    not mutate the returned trees."""
+    mae_model = _tiny_mae()
+    mae_params, mae_images = _mae_params(mae_model)
+    return mae_model, mae_params, mae_images
+
+
 def _mae_params(model, views=("sax", "lax_2c")):
     sizes = {"sax": SAX_SIZE, "lax_2c": LAX_SIZE}
     images = {v: jnp.ones((1, *sizes[v], 1)) for v in views}
@@ -47,8 +60,7 @@ def _mae_params(model, views=("sax", "lax_2c")):
 
 def test_expected_torch_key_names():
     """Pin the naming contract against the reference state_dict vocabulary."""
-    model = _tiny_mae()
-    params, _ = _mae_params(model)
+    model, params, _ = _cached_mae()
     sd = params_to_torch_state_dict(params)
     expected = [
         "enc_down_dict.sax.conv_blocks.0.patch_embed.conv.weight",
@@ -80,8 +92,7 @@ def test_expected_torch_key_names():
 
 
 def test_linear_weight_layout():
-    model = _tiny_mae()
-    params, _ = _mae_params(model)
+    model, params, _ = _cached_mae()
     sd = params_to_torch_state_dict(params)
     # torch Linear weight is (out, in): q is (dim, dim), kv is (2*dim, dim)
     assert sd["encoder.blocks.0.attn.kv.weight"].shape == (32, 16)
@@ -90,8 +101,7 @@ def test_linear_weight_layout():
 
 
 def test_round_trip_identity():
-    model = _tiny_mae()
-    params, images = _mae_params(model)
+    model, params, images = _cached_mae()
     sd = params_to_torch_state_dict(params)
     # zero out the tree, then restore from the torch dict
     zeros = jax.tree.map(jnp.zeros_like, params)
@@ -107,8 +117,7 @@ def test_round_trip_identity():
 
 
 def test_strict_errors():
-    model = _tiny_mae()
-    params, _ = _mae_params(model)
+    model, params, _ = _cached_mae()
     sd = params_to_torch_state_dict(params)
     sd_missing = dict(sd)
     del sd_missing["dec_linear.weight"]
@@ -125,8 +134,7 @@ def test_strict_errors():
 
 
 def test_transfer_to_convvit_with_inflation():
-    mae = _tiny_mae()
-    mae_params, _ = _mae_params(mae)
+    mae, mae_params, _ = _cached_mae()
     sd = params_to_torch_state_dict(mae_params)
 
     clf = ConvViT(
@@ -171,8 +179,7 @@ def test_transfer_to_convvit_with_inflation():
 
 
 def test_transfer_to_convunetr():
-    mae = _tiny_mae()
-    mae_params, _ = _mae_params(mae)
+    mae, mae_params, _ = _cached_mae()
     sd = params_to_torch_state_dict(mae_params)
 
     seg = ConvUNetR(

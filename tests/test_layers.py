@@ -200,6 +200,88 @@ def test_dense_param_naming():
     assert params["params"]["linear"]["kernel"].shape == (4, 8)
 
 
+@pytest.mark.parametrize(
+    "z,kernel,expected_g",
+    [
+        (16, 3, 4),  # the serving decoder shape: g=4 beats the Z/3 band
+        (8, 3, 8),  # band redundancy 8/3 < g=4: dispatch correctly stays full-Z
+        (8, 1, 4),  # 1x1x1 block-diag: partial always wins when lanes fill
+    ],
+)
+def test_gfold_partial_matches_dense(z, kernel, expected_g, monkeypatch):
+    """The partial z-fold (g = 128/C groups, batch >= 8) must match the
+    dense 3D conv, values and grads — the serving fast path since round 5."""
+    from cinema_tpu.models.layers import Conv, partial_fold_group
+
+    c = 32
+    assert partial_fold_group(z, c, c, kernel, batch=8) == expected_g
+    assert partial_fold_group(z, c, c, kernel, batch=2) == z  # batch-gated
+    conv = Conv(c, (kernel,) * 3, padding="SAME")
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(8, 6, 6, z, c)).astype(np.float32))
+
+    monkeypatch.setenv("CINEMA_TPU_ZFOLD", "0")
+    params = conv.init(jax.random.PRNGKey(0), x)
+
+    def loss(p, v):
+        return jnp.sum(jnp.square(conv.apply(p, v)))
+
+    dense_out = conv.apply(params, x)
+    dense_g = jax.grad(loss)(params, x)
+
+    monkeypatch.setenv("CINEMA_TPU_ZFOLD", "1")
+    gfold_out = conv.apply(params, x)
+    gfold_g = jax.grad(loss)(params, x)
+
+    np.testing.assert_allclose(np.asarray(gfold_out), np.asarray(dense_out), rtol=1e-4, atol=1e-4)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-3),
+        gfold_g,
+        dense_g,
+    )
+
+
+@pytest.mark.parametrize("batch", [2, 8])
+def test_gfold_transpose_matches_dense(batch, monkeypatch):
+    """z-identity ConvTranspose on the folded layout: the partial (g-group)
+    block-diagonal at batch >= 8 and the full-Z one below must both equal
+    the dense 5D transpose, values and grads."""
+    from cinema_tpu.models.layers import ConvTranspose
+
+    z, ci, co = 8, 64, 32
+    tr = ConvTranspose(co, (2, 2, 1), strides=(2, 2, 1))
+    rng = np.random.default_rng(1)
+    x5 = jnp.asarray(rng.normal(size=(batch, 5, 5, z, ci)).astype(np.float32))
+    params = tr.init(jax.random.PRNGKey(0), x5)
+
+    dense_out = tr.apply(params, x5)
+
+    x2 = x5.reshape(batch, 5, 5, z * ci)
+
+    def folded(p, v):
+        return tr.apply(p, v, folded_z=z)
+
+    fold_out = folded(params, x2)
+    np.testing.assert_allclose(
+        np.asarray(fold_out).reshape(batch, 10, 10, z, co),
+        np.asarray(dense_out),
+        rtol=1e-4,
+        atol=1e-4,
+    )
+
+    def loss_dense(p):
+        return jnp.sum(jnp.square(tr.apply(p, x5)))
+
+    def loss_fold(p):
+        return jnp.sum(jnp.square(folded(p, x2)))
+
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-3),
+        jax.grad(loss_fold)(params),
+        jax.grad(loss_dense)(params),
+    )
+
+
 @pytest.mark.parametrize("z,kernel", [(8, 3), (16, 3), (8, 1)])
 def test_zfold_band_matches_dense(z, kernel, monkeypatch):
     """The full-Z banded fold must match the dense 3D conv, values and

@@ -256,12 +256,47 @@ def bench_seg_latency() -> dict:
         times.append(time.perf_counter() - t0)
     times.sort()
     p50 = times[len(times) // 2]
+
+    # the single-dispatch p50 above includes one host<->device round trip
+    # (~25-30 ms over the axon relay tunnel — nothing a real deployment
+    # pays); measure that floor explicitly and also a steady-state
+    # amortized latency with N frames chained in ONE dispatch, each
+    # perturbed so nothing hoists
+    tiny = jax.jit(lambda s: s + 1.0)
+    _sync(tiny(jnp.float32(0)))
+    floors = []
+    for _ in range(10):
+        t0 = time.perf_counter()
+        _sync(tiny(jnp.float32(0)))
+        floors.append(time.perf_counter() - t0)
+    floor = sorted(floors)[len(floors) // 2]
+
+    n_chain = 5
+
+    @jax.jit
+    def run_chain(p, img):
+        def body(i, acc):
+            labels = run(p, img + (i * 1e-6).astype(img.dtype))
+            return acc + labels[0, 0, 0, 0].astype(jnp.int32)
+
+        return jax.lax.fori_loop(0, n_chain, body, jnp.int32(0))
+
+    _sync(run_chain(params, image))
+    chained = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        _sync(run_chain(params, image))
+        chained.append(time.perf_counter() - t0)
+    amortized = sorted(chained)[len(chained) // 2] / n_chain
+
     return {
         "metric": "seg_sliding_window_latency",
         "value": round(p50 * 1000, 2),
         "unit": "ms p50 per frame (192x192x24 SAX, 2 z-patches)",
         "p95_ms": round(times[int(len(times) * 0.95) - 1] * 1000, 2),
         "frames_per_sec": round(1.0 / p50, 2),
+        "dispatch_floor_ms": round(floor * 1000, 2),
+        "amortized_ms_per_frame": round(amortized * 1000, 2),
     }
 
 

@@ -26,7 +26,7 @@ import hashlib
 import os
 import pickle
 from pathlib import Path
-from typing import Any, Optional, Tuple
+from typing import Any, Optional
 
 from cinema_tpu.log import get_logger
 

@@ -9,7 +9,7 @@ with matplotlib + PIL only (no imageio/tqdm dependency).
 from __future__ import annotations
 
 from pathlib import Path
-from typing import Optional, Sequence
+from typing import Sequence
 
 import numpy as np
 

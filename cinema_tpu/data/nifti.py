@@ -188,13 +188,17 @@ def _read_member(path: Path, start: int, end: int, nbytes: int) -> bytes:
     return zlib.decompressobj(wbits=31).decompress(comp, nbytes)
 
 
-def load_nifti(path: Union[str, Path]) -> Tuple[np.ndarray, NiftiHeader]:
+def load_nifti(
+    path: Union[str, Path], apply_scaling: bool = True
+) -> Tuple[np.ndarray, NiftiHeader]:
     """Read a full NIfTI volume.
 
     Returns:
         (array of shape header.shape with x-fastest storage mapped to
         ``arr[x, y, ...]``, header). Scaling (scl_slope/inter) is applied
-        when non-identity (output float32 in that case).
+        when non-identity (output float32 in that case); pass
+        ``apply_scaling=False`` to get the stored voxels verbatim (lossless
+        rewrites keep the raw dtype + the header's scl fields).
     """
     with _open(path) as f:
         raw = f.read()
@@ -205,7 +209,7 @@ def load_nifti(path: Union[str, Path]) -> Tuple[np.ndarray, NiftiHeader]:
     )
     # NIfTI stores x fastest: numpy C-order view has shape reversed
     arr = data.reshape(header.shape[::-1]).transpose(tuple(range(len(header.shape) - 1, -1, -1)))
-    if header.scl_slope != 1.0 or header.scl_inter != 0.0:
+    if apply_scaling and (header.scl_slope != 1.0 or header.scl_inter != 0.0):
         arr = arr.astype(np.float32) * header.scl_slope + header.scl_inter
     return np.ascontiguousarray(arr), header
 
@@ -284,6 +288,7 @@ def save_nifti(
     affine: Optional[np.ndarray] = None,
     descrip: bytes = b"cinema_tpu",
     frame_indexed: bool = False,
+    scl: Tuple[float, float] = (1.0, 0.0),
 ) -> None:
     """Write a NIfTI-1 file (gzipped if the path ends in .gz).
 
@@ -296,6 +301,9 @@ def save_nifti(
             ``load_nifti_frame`` inflates a single frame. The file stays a
             valid .nii.gz for every standard reader; ignored for raw .nii
             (already seekable) and non-4D arrays.
+        scl: (scl_slope, scl_inter) written verbatim — pass a source
+            header's values when rewriting raw (unscaled) voxels so
+            readers keep applying the same scaling.
     """
     array = np.asarray(array)
     if array.dtype not in _DTYPE_CODES:
@@ -320,8 +328,8 @@ def save_nifti(
     pixdim = [1.0] + list(spacing) + [1.0] * (7 - ndim)
     struct.pack_into("<8f", header, 76, *pixdim)
     struct.pack_into("<f", header, 108, float(HEADER_SIZE + 4))  # vox_offset
-    struct.pack_into("<f", header, 112, 1.0)  # scl_slope
-    struct.pack_into("<f", header, 116, 0.0)  # scl_inter
+    struct.pack_into("<f", header, 112, float(scl[0]))  # scl_slope
+    struct.pack_into("<f", header, 116, float(scl[1]))  # scl_inter
     header[148 : 148 + min(len(descrip), 79)] = descrip[:79]
     struct.pack_into("<h", header, 252, 1)  # qform_code (identity-ish)
     struct.pack_into("<h", header, 254, 1)  # sform_code

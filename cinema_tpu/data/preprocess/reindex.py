@@ -44,7 +44,10 @@ def reindex_file(path: Path, out_path: Optional[Path] = None) -> str:
         return "skip:not-4d"
     if out_path is None and read_frame_index(path) is not None:
         return "skip:already-indexed"
-    array, header = load_nifti(path)
+    # raw stored voxels, no scl scaling: the rewrite is lossless (same
+    # dtype, same values) and the original scl fields ride along in the
+    # new header so every reader keeps applying the same scaling
+    array, header = load_nifti(path, apply_scaling=False)
     target = out_path or path
     target.parent.mkdir(parents=True, exist_ok=True)
     # tmp must keep the .gz suffix: save_nifti keys compression (and the
@@ -58,6 +61,7 @@ def reindex_file(path: Path, out_path: Optional[Path] = None) -> str:
             affine=header.affine,
             descrip=header.descrip or b"cinema_tpu",
             frame_indexed=True,
+            scl=(header.scl_slope, header.scl_inter),
         )
         os.replace(tmp, target)
     finally:

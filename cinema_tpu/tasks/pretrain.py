@@ -57,8 +57,13 @@ def scan_manifest(data_dir: Path, views: List[str], rescan: bool = False) -> Lis
 
     from cinema_tpu.data.datasets import find_view_file
 
+    import os
+
     cache_path = data_dir / f"manifest_pids_{'_'.join(sorted(views))}.json"
-    n_dir_entries = sum(1 for p in data_dir.iterdir() if p.is_dir())
+    # scandir reads is_dir from dirent d_type: no per-entry stat() calls
+    # (iterdir().is_dir() would issue ~70k stats per launch at UKB scale)
+    with os.scandir(data_dir) as it:
+        n_dir_entries = sum(1 for e in it if e.is_dir())
     if not rescan and cache_path.exists():
         try:
             cached = json.load(open(cache_path, encoding="utf-8"))

@@ -251,17 +251,23 @@ def run_train(
     resumed_meta = False
     if config.train.get("resume_path"):
         resume = Path(config.train.resume_path)
+        if not resume.exists():
+            # don't let the layout fallback below mislabel a missing path
+            raise FileNotFoundError(f"train.resume_path {resume} does not exist.")
         try:
             state = load_checkpoint(resume, state, shardings=state_shardings)
-        except Exception:
+        except (ValueError, KeyError, TypeError) as e:
             # checkpoints written before the fused AdamW (round 4) hold the
             # optax chain's opt_state tuple, which fails orbax structure
             # matching against FusedAdamWState — fall back to the chain
             # optimizer for this run (same update semantics, see
-            # train/fused_optim.py; only the state layout differs)
+            # train/fused_optim.py; only the state layout differs). Orbax
+            # reports the mismatch as ValueError/KeyError/TypeError; IO-level
+            # failures (truncated/corrupt checkpoints) propagate unchanged.
             logger.warning(
                 f"Checkpoint {resume} does not match the fused-AdamW state "
-                "layout; retrying with the optax chain optimizer."
+                f"layout ({type(e).__name__}: {str(e)[:200]}); retrying with "
+                "the optax chain optimizer."
             )
             tx = make_tx(freeze_mask if frozen else None, fused=False)
             state, state_shardings = make_train_state(init_fn, tx, mesh, fsdp=fsdp)

@@ -147,6 +147,21 @@ def test_reindex_cli_round_trip(tmp_path):
     assert read_frame_index(p3) is None  # 3D untouched
     assert reindex_file(p4) == "skip:already-indexed"
 
+    # scaled int16 input (non-UKB trees): rewrite is LOSSLESS — raw dtype
+    # kept, scl fields ride along, scaled reads unchanged
+    rng2 = np.random.default_rng(4)
+    scaled = rng2.integers(-1000, 1000, size=(6, 5, 2, 4)).astype(np.int16)
+    ps = tmp_path / "s01" / "s01_scaled_t.nii.gz"
+    save_nifti(ps, scaled, spacing=(1.0, 1.0, 8.0, 1.0), scl=(0.5, -2.0))
+    before, _ = load_nifti(ps)
+    assert reindex_file(ps) == "ok"
+    after, hdr = load_nifti(ps)
+    raw, _ = load_nifti(ps, apply_scaling=False)
+    assert raw.dtype == np.int16
+    np.testing.assert_array_equal(raw, scaled)
+    np.testing.assert_array_equal(after, before)
+    assert hdr.scl_slope == 0.5 and hdr.scl_inter == -2.0
+
 
 def test_nifti_frame_requires_4d(tmp_path):
     save_nifti(tmp_path / "v.nii", np.zeros((4, 4, 4), np.float32))

@@ -56,19 +56,23 @@ def _cached_ckpt(config, model, name: str):
     """Persistent tiny-checkpoint cache (round-4 Weak #6: building 7 jitted
     inits per module fixture cost ~7 min of the slow tier on a 1-core host).
 
-    Keyed on the abstract param tree (shapes/dtypes/paths), so any model or
-    config change that alters the checkpoint regenerates it; entries live in
-    tests/fixtures/ and are committed, making first runs fast too."""
+    Keyed on the abstract param tree (shapes/dtypes/paths) AND the rendered
+    config, so any model or config change — including shape-preserving
+    edits to fields the example scripts consume — regenerates the entry;
+    entries live in tests/fixtures/ and are committed, making first runs
+    fast too."""
     import hashlib
     import shutil
 
     import jax
+    import yaml
 
     abstract = jax.eval_shape(lambda: init_params(model))
     tree_repr = str(
         jax.tree_util.tree_map(lambda x: (tuple(x.shape), str(x.dtype)), abstract)
     )
-    digest = hashlib.sha256(tree_repr.encode()).hexdigest()[:12]
+    cfg_repr = yaml.safe_dump(config.to_dict(), sort_keys=True)
+    digest = hashlib.sha256((tree_repr + cfg_repr).encode()).hexdigest()[:12]
     cache = CKPT_CACHE / f"{name}-{digest}"
     st, yaml = cache / f"{name}.safetensors", cache / f"{name}.yaml"
     if not (st.exists() and yaml.exists()):

@@ -118,7 +118,7 @@ def main() -> None:
         idx = text.find("## Measured status")
         text = (text[:idx] if idx != -1 else text).rstrip() + "\n\n" + block + "\n"
     baseline.write_text(text)
-    print(f"BASELINE.md measured section regenerated from BENCH_r{n:02d}.json")
+    print(f"BASELINE.md measured section regenerated ({source}).")
 
 
 if __name__ == "__main__":

@@ -77,9 +77,16 @@ def render(n: int, m: dict, source: str) -> str:
         )
     l = m.get("seg_sliding_window_latency")
     if l:
+        extra = ""
+        if "amortized_ms_per_frame" in l:
+            extra = (
+                f"; amortized {l['amortized_ms_per_frame']} ms/frame "
+                f"(single-dispatch p50 includes the {l.get('dispatch_floor_ms', '?')} ms "
+                f"relay round trip)"
+            )
         lines.append(
             f"| Sliding-window eval | **{l['value']} ms p50/frame** | p95 {l.get('p95_ms', '?')} ms, "
-            f"192×192×24 SAX (2 z-patches in one forward) |"
+            f"192×192×24 SAX (2 z-patches in one forward){extra} |"
         )
     i = m.get("input_pipeline_throughput")
     if i:

@@ -540,8 +540,18 @@ def _packed_bwd_rule(n_heads, block_q, residuals, g):
     # the packed bwd keeps k/v/dk/dv panels + per-head score buffers live;
     # halve the score budget vs the per-head kernel (28.9M scoped-vmem OOM
     # at block 512, dec shape)
+    import os
+
+    # v5e-swept 2026-08-19 (fwd+bwd p50 ms at 5/10/15/20 MB): self-attn
+    # wants the bigger q-blocks — serving enc Tq=Tk=2305: 11.15/11.04/
+    # 10.23/10.23; pretrain enc Tq=Tk=769: 5.12/4.98/4.92/5.16 — while
+    # cross-attn (decoder Tq2305 Tk769: 9.89/10.58/10.61/10.89) prefers
+    # the original 5 MB (its dk/dv panels already occupy the VMEM that
+    # bigger score blocks would need)
+    default_budget = 15 * 2**20 if n_q == n_k else _SCORE_VMEM_BUDGET // 2
+    bwd_budget = int(os.environ.get("CINEMA_TPU_PACKED_BWD_BUDGET", default_budget))
     block_q = _auto_block_q(
-        _round_up(n_q, 128), n_k_pad, DEFAULT_BLOCK_Q_BWD, budget=_SCORE_VMEM_BUDGET // 2
+        _round_up(n_q, 128), n_k_pad, DEFAULT_BLOCK_Q_BWD, budget=bwd_budget
     )
     n_q_pad = _round_up(n_q, block_q)
 

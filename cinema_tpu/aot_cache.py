@@ -25,6 +25,7 @@ from __future__ import annotations
 import hashlib
 import os
 import pickle
+import re
 from pathlib import Path
 from typing import Any, Optional
 
@@ -48,10 +49,41 @@ def _env_tag() -> str:
     return f"{jax.__version__}|{dev.platform}|{getattr(dev, 'device_kind', '')}"
 
 
+# MLIR symbol uniquification (jax mlir.merge_mlir_modules) suffixes private
+# function names with collision counters (@sort_43, @_uniform_52) whose
+# values depend on process-global lowering-cache state — i.e. on what was
+# traced EARLIER in the process. The full bench traces serving models before
+# the pretrain step while a fresh process traces only the step, so an
+# identical program hashes differently — exactly the fresh-process case this
+# cache exists for. Canonicalize by renumbering every @symbol per base name
+# (counter suffix stripped) in order of first appearance.
+_SYM_RE = re.compile(r"@[A-Za-z_][\w.$]*")
+_SUFFIX_RE = re.compile(r"_\d+$")
+
+
+def _canonical_text(text: str) -> str:
+    """Renumber @symbols by first appearance per base name."""
+    mapping: dict = {}
+    counts: dict = {}
+
+    def sub(m: "re.Match[str]") -> str:
+        sym = m.group(0)
+        new = mapping.get(sym)
+        if new is None:
+            base = _SUFFIX_RE.sub("", sym)
+            i = counts.get(base, 0)
+            counts[base] = i + 1
+            new = f"{base}_c{i}"  # '_c' cannot collide with a counter suffix
+            mapping[sym] = new
+        return new
+
+    return _SYM_RE.sub(sub, text)
+
+
 def lowered_key(lowered: Any) -> str:
-    """Cache key: sha256 of the lowered StableHLO + environment tag."""
+    """Cache key: sha256 of the canonicalized lowered StableHLO + env tag."""
     h = hashlib.sha256(_env_tag().encode())
-    h.update(lowered.as_text().encode())
+    h.update(_canonical_text(lowered.as_text()).encode())
     return h.hexdigest()[:24]
 
 

@@ -77,6 +77,35 @@ def test_key_changes_with_program(tmp_path):
     assert lowered_key(f.lower(x)) == lowered_key(f.lower(x))
 
 
+def test_key_invariant_to_symbol_counter_shift():
+    """MLIR symbol uniquification suffixes private function names with
+    collision counters whose values depend on what was traced earlier in
+    the process (@sort_43 in the full bench vs @sort_30 in the fresh
+    warm-probe process, observed on axon 2026-08-20) — the canonicalized
+    key must be invariant to a uniform suffix shift and to bare-vs-suffixed
+    first occurrences, while still separating genuinely different programs."""
+    from cinema_tpu.aot_cache import _canonical_text
+
+    a = (
+        "module @jit_step {\n"
+        "  func.func public @main() { call @sort_30, @_uniform_39, @sort_31 }\n"
+        "  func.func private @sort_30()\n"
+        "  func.func private @sort_31()\n"
+        "  func.func private @_uniform_39()\n"
+        "}\n"
+    )
+    # same program, counters shifted by prior in-process tracing
+    b = a.replace("sort_30", "sort_43").replace("sort_31", "sort_44").replace(
+        "_uniform_39", "_uniform_52"
+    )
+    # same program, first symbol minted without a collision suffix
+    c = a.replace("sort_30", "sort")
+    assert _canonical_text(a) == _canonical_text(b) == _canonical_text(c)
+    # different call structure must stay distinct
+    d = a.replace("@sort_30, @_uniform_39", "@_uniform_39, @sort_30")
+    assert _canonical_text(a) != _canonical_text(d)
+
+
 _TRAIN_PROG = """
 import sys
 sys.path.insert(0, {repo!r})

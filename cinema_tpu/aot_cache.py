@@ -109,6 +109,10 @@ def load_compiled(key: str, cache_dir: Optional[str] = None) -> Optional[Any]:
             payload, in_tree, out_tree, execution_devices=devices
         )
         logger.info(f"AOT cache hit: {path} ({path.stat().st_size >> 20} MB).")
+        try:
+            os.utime(path)  # refresh mtime: eviction below is LRU by mtime
+        except OSError:
+            pass
         return compiled
     except Exception as e:  # stale jax/runtime: recompile, don't crash
         logger.warning(f"AOT cache load failed ({e}); recompiling.")
@@ -117,6 +121,46 @@ def load_compiled(key: str, cache_dir: Optional[str] = None) -> Optional[Any]:
         except OSError:
             pass
         return None
+
+
+def _prune(base: Path, keep: Path) -> None:
+    """Size-capped LRU eviction (by mtime; loads touch their entry).
+
+    ViT-base step executables are ~630 MB each and every program / shape /
+    flag change mints a new key, so an unbounded cache grows by gigabytes
+    per experiment week. Default cap 8 GB (CINEMA_TPU_AOT_CACHE_MAX_GB;
+    <=0 disables). The just-written entry is never evicted.
+    """
+    try:
+        max_bytes = float(os.environ.get("CINEMA_TPU_AOT_CACHE_MAX_GB", "8")) * 1e9
+    except ValueError:
+        max_bytes = 8e9
+    if max_bytes <= 0:
+        return
+    entries = []
+    total = 0
+    for p in base.glob("*.aot"):
+        try:
+            st = p.stat()
+        except OSError:
+            continue
+        entries.append((st.st_mtime, st.st_size, p))
+        total += st.st_size
+    entries.sort(key=lambda e: e[0])
+    for _, size, p in entries:
+        if total <= max_bytes:
+            break
+        if p == keep:
+            continue
+        try:
+            p.unlink()
+            total -= size
+            sidecar = p.with_suffix(".flops")  # bench's cost-analysis sidecar
+            if sidecar.exists():
+                sidecar.unlink()
+            logger.info(f"AOT cache evict: {p} ({size >> 20} MB).")
+        except OSError:
+            pass
 
 
 def store_compiled(key: str, compiled: Any, cache_dir: Optional[str] = None) -> Optional[Path]:
@@ -137,6 +181,7 @@ def store_compiled(key: str, compiled: Any, cache_dir: Optional[str] = None) -> 
         tmp.write_bytes(pickle.dumps((payload, in_tree, out_tree, device_ids)))
         os.replace(tmp, path)  # atomic: concurrent readers never see partials
         logger.info(f"AOT cache store: {path} ({path.stat().st_size >> 20} MB).")
+        _prune(base, keep=path)
         return path
     except Exception as e:  # serialization unsupported on this backend
         logger.warning(f"AOT cache store failed ({e}).")

@@ -196,6 +196,63 @@ def test_run_train_uses_aot_cache(tmp_path):
     assert after == entries, "disabled mode must not touch the cache"
 
 
+def test_prune_lru_over_size_cap(tmp_path, monkeypatch):
+    """Entries are ~630 MB for ViT-base steps; _prune evicts the
+    least-recently-used entries (mtime; loads touch) past the size cap,
+    never the protected entry, and drops bench's .flops sidecars."""
+    from cinema_tpu.aot_cache import _prune
+
+    def entry(name: str, mtime: int, size: int = 2000) -> "Path":
+        p = tmp_path / f"{name}.aot"
+        p.write_bytes(b"x" * size)
+        os.utime(p, (mtime, mtime))
+        return p
+
+    a, b, c = entry("a", 1), entry("b", 2), entry("c", 3)
+    (tmp_path / "a.flops").write_text("1.0")
+    monkeypatch.setenv("CINEMA_TPU_AOT_CACHE_MAX_GB", str(5000 / 1e9))  # 5000 bytes
+    _prune(tmp_path, keep=c)
+    # 6000 > 5000: evict oldest (a, with its sidecar), then under cap
+    assert not a.exists() and not (tmp_path / "a.flops").exists()
+    assert b.exists() and c.exists()
+
+    # the protected entry survives even a cap it alone exceeds
+    monkeypatch.setenv("CINEMA_TPU_AOT_CACHE_MAX_GB", str(1000 / 1e9))
+    _prune(tmp_path, keep=c)
+    assert c.exists() and not b.exists()
+
+    # cap <= 0 disables pruning entirely
+    monkeypatch.setenv("CINEMA_TPU_AOT_CACHE_MAX_GB", "0")
+    d = entry("d", 4, size=10000)
+    _prune(tmp_path, keep=d)
+    assert c.exists() and d.exists()
+
+
+def test_store_compiled_triggers_prune(tmp_path, monkeypatch):
+    """store_compiled prunes after writing: with a 1-byte cap, stale
+    entries are evicted while the just-written entry survives."""
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+
+    from cinema_tpu.aot_cache import cached_compile
+
+    stale = tmp_path / "stale.aot"
+    stale.write_bytes(b"x" * 2000)
+    os.utime(stale, (1, 1))
+    monkeypatch.setenv("CINEMA_TPU_AOT_CACHE_MAX_GB", str(1 / 1e9))  # 1 byte
+
+    @jax.jit
+    def f(x):
+        return x + 1
+
+    stats = {}
+    cached_compile(f, jnp.ones((4, 4)), cache_dir=str(tmp_path), _stats=stats)
+    assert not stale.exists()
+    assert (tmp_path / f"{stats['key']}.aot").exists()
+
+
 def test_corrupt_cache_entry_recompiles(tmp_path):
     import jax
 

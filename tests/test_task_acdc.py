@@ -72,10 +72,24 @@ def _tiny_config(acdc_dir, out_dir):
     )
 
 
-def test_acdc_task_end_to_end(acdc_dir, tmp_path):
-    from cinema_tpu.tasks.segmentation.acdc import load_dataset, run
+@pytest.fixture(scope="module")
+def first_run(acdc_dir, tmp_path_factory):
+    """One 2-epoch fine-tune run shared by the e2e asserts AND as the resume
+    source — the run itself is the expensive part (train-step compile)."""
+    from cinema_tpu.tasks.segmentation.acdc import run
 
-    cfg = _tiny_config(acdc_dir, tmp_path / "runs")
+    out = tmp_path_factory.mktemp("acdc_run") / "runs"
+    cfg = _tiny_config(acdc_dir, out)
+    run(cfg)
+    run_dirs = list(out.iterdir())
+    assert len(run_dirs) == 1
+    return cfg, run_dirs[0]
+
+
+def test_acdc_task_end_to_end(acdc_dir, first_run):
+    from cinema_tpu.tasks.segmentation.acdc import load_dataset
+
+    cfg, run_dir = first_run
 
     train_ds, val_ds = load_dataset(cfg)
     assert len(val_ds) == 2 * 10  # 2 per pathology x 5 pathologies x ED/ES
@@ -84,11 +98,6 @@ def test_acdc_task_end_to_end(acdc_dir, tmp_path):
     assert sample["sax_image"].shape == (16, 16, 4, 1)
     assert sample["sax_label"].shape == (16, 16, 4)
 
-    run(cfg)
-
-    run_dirs = list((tmp_path / "runs").iterdir())
-    assert len(run_dirs) == 1
-    run_dir = run_dirs[0]
     metrics = [json.loads(line) for line in (run_dir / "metrics.jsonl").read_text().splitlines()]
     train_records = [m for m in metrics if "train_loss" in m]
     val_records = [m for m in metrics if "val_mean_dice_score" in m]
@@ -141,16 +150,15 @@ def test_acdc_eval_loads_exported_safetensors(acdc_dir, tmp_path):
     assert np.isfinite(metrics["mean_dice_score"])
 
 
-def test_acdc_resume_from_checkpoint(acdc_dir, tmp_path):
+def test_acdc_resume_from_checkpoint(acdc_dir, first_run, tmp_path):
     """A fine-tune interrupted after its checkpoint resumes past the epochs
     already trained (train.resume_path; beyond the reference, whose run_train
-    cannot resume)."""
+    cannot resume). Resumes from the shared first_run (n_epochs=2,
+    eval_interval=2 -> saved ckpt_1)."""
     from cinema_tpu.config import apply_overrides
     from cinema_tpu.tasks.segmentation.acdc import run
 
-    cfg = _tiny_config(acdc_dir, tmp_path / "runs")
-    run(cfg)  # n_epochs=2, eval_interval=2 -> saves ckpt_1
-    first = next((tmp_path / "runs").iterdir())
+    _, first = first_run
     ckpt = first / "ckpt_1"
     assert ckpt.exists()
 

@@ -60,6 +60,19 @@ def _env_tag() -> str:
 _SYM_RE = re.compile(r"@[A-Za-z_][\w.$]*")
 _SUFFIX_RE = re.compile(r"_\d+$")
 
+# The serialized Mosaic kernel module (custom_call backend_config "body":
+# base64 MLIR *bytecode*) is not process-invariant either: its string table
+# embeds trace-context-dependent location/name entries (~160 bytes of noise
+# for an identical kernel, observed on axon 2026-08-20 — four distinct keys
+# for one program across process histories), and bytecode defeats textual
+# canonicalization. Strip the body from the hashed text; kernel staleness
+# stays structural because the key mixes in _kernel_salt() — a hash of the
+# Pallas kernel sources plus the CINEMA_TPU_* env knobs that select kernel
+# configs — while operand shapes/dtypes stay visible in the surrounding
+# StableHLO and the rest of the custom_call_config (cost estimate, flags)
+# stays hashed.
+_MOSAIC_BODY_RE = re.compile(r'(body(?:\\22|"): ?(?:\\22|"))[A-Za-z0-9+/=]+')
+
 
 def _canonical_text(text: str) -> str:
     """Renumber @symbols by first appearance per base name."""
@@ -77,12 +90,37 @@ def _canonical_text(text: str) -> str:
             mapping[sym] = new
         return new
 
-    return _SYM_RE.sub(sub, text)
+    return _SYM_RE.sub(sub, _MOSAIC_BODY_RE.sub(r"\1<mosaic-body>", text))
+
+
+_KERNEL_SALT: Optional[str] = None
+
+
+def _kernel_salt() -> str:
+    """Hash of the Pallas kernel sources + kernel-selecting env knobs.
+
+    Stands in for the stripped Mosaic payloads in the cache key: editing a
+    kernel or flipping a block-size/budget env var must mint a new key even
+    though the change may only be visible inside the (unhashable) bytecode.
+    """
+    global _KERNEL_SALT
+    if _KERNEL_SALT is None:
+        h = hashlib.sha256()
+        for p in sorted((Path(__file__).parent / "ops" / "pallas").glob("*.py")):
+            h.update(p.name.encode())
+            h.update(p.read_bytes())
+        for k in sorted(os.environ):
+            if k.startswith("CINEMA_TPU_") and not k.startswith("CINEMA_TPU_AOT"):
+                h.update(f"{k}={os.environ[k]}".encode())
+        _KERNEL_SALT = h.hexdigest()
+    return _KERNEL_SALT
 
 
 def lowered_key(lowered: Any) -> str:
-    """Cache key: sha256 of the canonicalized lowered StableHLO + env tag."""
+    """Cache key: sha256 of the canonicalized lowered StableHLO (symbols
+    renumbered, Mosaic payloads stripped) + env tag + kernel salt."""
     h = hashlib.sha256(_env_tag().encode())
+    h.update(_kernel_salt().encode())
     h.update(_canonical_text(lowered.as_text()).encode())
     return h.hexdigest()[:24]
 

@@ -106,6 +106,44 @@ def test_key_invariant_to_symbol_counter_shift():
     assert _canonical_text(a) != _canonical_text(d)
 
 
+def test_key_invariant_to_mosaic_body_noise(monkeypatch):
+    """The serialized Mosaic kernel payload (backend_config "body": base64
+    MLIR bytecode) embeds trace-context-dependent string-table entries, so
+    two processes lowering the SAME program emit different bytes there
+    (observed on axon 2026-08-20: four distinct keys for one program).
+    _canonical_text must strip the payload; kernel staleness is carried by
+    _kernel_salt (Pallas sources + CINEMA_TPU_* env knobs) instead."""
+    import cinema_tpu.aot_cache as ac
+
+    tpl = (
+        'stablehlo.custom_call @tpu_custom_call(%0) {backend_config = '
+        '"{\\22custom_call_config\\22: {\\22body\\22: \\22B64\\22, '
+        '\\22cost\\22: 7}}"} : (tensor<8xf32>) -> tensor<8xf32>'
+    )
+    a, b = tpl.replace("B64", "AAAAbodyNOISE1"), tpl.replace("B64", "AAAAbodyNOISE2Longer")
+    assert ac._canonical_text(a) == ac._canonical_text(b)
+    assert "<mosaic-body>" in ac._canonical_text(a)
+    # unescaped-quote form too
+    c = '{"custom_call_config": {"body": "QUJD", "cost": 7}}'
+    assert "QUJD" not in ac._canonical_text(c)
+    # everything outside the body stays load-bearing
+    d = tpl.replace("B64", "AAAA")
+    assert ac._canonical_text(d.replace('cost\\22: 7', 'cost\\22: 9')) != ac._canonical_text(d)
+
+    # the salt covers what the stripped payload encoded: kernel env knobs...
+    monkeypatch.setattr(ac, "_KERNEL_SALT", None)
+    s0 = ac._kernel_salt()
+    monkeypatch.setattr(ac, "_KERNEL_SALT", None)
+    monkeypatch.setenv("CINEMA_TPU_PACKED_BWD_BUDGET", "7340032")
+    s1 = ac._kernel_salt()
+    assert s0 != s1
+    # ...but not the AOT cache's own control vars (they don't change programs)
+    monkeypatch.setattr(ac, "_KERNEL_SALT", None)
+    monkeypatch.setenv("CINEMA_TPU_AOT_CACHE_MAX_GB", "99")
+    assert ac._kernel_salt() == s1
+    monkeypatch.setattr(ac, "_KERNEL_SALT", None)  # drop the test env from the memo
+
+
 _TRAIN_PROG = """
 import sys
 sys.path.insert(0, {repo!r})
